@@ -1,0 +1,297 @@
+"""Llama model family with weight-only quantized (MPQ/MBWQ) projections.
+
+This is the engine's flagship integration (BASELINE.json configs[2]/[3]):
+the reference provides the quantized linear layers consumed by the external
+green-bit-llm projects (reference README.md:18-19); here the model itself is
+part of the framework, TPU-native:
+
+* all seven projections per block are :class:`~bitorch_engine_tpu.layers.linear.MPQLinear`
+  (or fp Dense for baseline comparison),
+* RoPE / RMSNorm / SwiGLU in bf16, fp32 softmax,
+* KV-cache decode step designed for ``jit``: static shapes, position index
+  carried in the cache, causal masking via ``broadcasted_iota``,
+* tensor-parallel sharding: qkv/gate/up column-sharded (heads split over
+  'tp'), o/down row-sharded — the activation pattern keeps collectives to one
+  ``psum`` per block, riding ICI (see ``parallel/sharding.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..layers.linear import MPQLinear
+from ..qtensor import MPQTensor
+
+Array = jax.Array
+
+
+@struct.dataclass
+class LlamaConfig:
+    vocab_size: int = struct.field(pytree_node=False, default=128256)
+    hidden_size: int = struct.field(pytree_node=False, default=4096)
+    intermediate_size: int = struct.field(pytree_node=False, default=14336)
+    num_layers: int = struct.field(pytree_node=False, default=32)
+    num_heads: int = struct.field(pytree_node=False, default=32)
+    num_kv_heads: int = struct.field(pytree_node=False, default=8)
+    max_seq_len: int = struct.field(pytree_node=False, default=4096)
+    rope_theta: float = struct.field(pytree_node=False, default=500000.0)
+    rms_eps: float = struct.field(pytree_node=False, default=1e-5)
+    # quantization
+    w_bit: int = struct.field(pytree_node=False, default=4)
+    group_size: int = struct.field(pytree_node=False, default=128)
+    asym: bool = struct.field(pytree_node=False, default=False)
+    quantized: bool = struct.field(pytree_node=False, default=True)
+    dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def llama3_8b(**overrides) -> LlamaConfig:
+    return LlamaConfig(**overrides)
+
+
+def llama2_7b(**overrides) -> LlamaConfig:
+    defaults = dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=32,
+        rope_theta=10000.0,
+        rms_eps=1e-5,
+    )
+    defaults.update(overrides)
+    return LlamaConfig(**defaults)
+
+
+def tiny_llama(**overrides) -> LlamaConfig:
+    """Small config for tests / CPU dry runs."""
+    defaults = dict(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=512,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        max_seq_len=128,
+        group_size=64,
+    )
+    defaults.update(overrides)
+    return LlamaConfig(**defaults)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", lambda key: jnp.ones((x.shape[-1],), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        return (x32 * jax.lax.rsqrt(var + self.eps) * w).astype(self.dtype)
+
+
+def _rope(pos: Array, head_dim: int, theta: float) -> Tuple[Array, Array]:
+    """cos/sin tables for positions ``pos`` (any shape) → (..., head_dim/2)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = pos.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: (b, s, h, d) with cos/sin (b, s, d/2) — rotate-half convention."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _proj(cfg: LlamaConfig, out_features: int, name: str):
+    if cfg.quantized:
+        return MPQLinear(
+            out_features,
+            w_bit=cfg.w_bit,
+            group_size=cfg.group_size,
+            asym=cfg.asym,
+            dtype=cfg.dtype,
+            name=name,
+        )
+    return nn.Dense(out_features, use_bias=False, dtype=cfg.dtype, name=name)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        positions: Array,
+        kv_cache: Optional[Tuple[Array, Array]] = None,
+        cache_len: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+
+        q = _proj(cfg, nh * hd, "q_proj")(x).reshape(b, s, nh, hd)
+        k = _proj(cfg, nkv * hd, "k_proj")(x).reshape(b, s, nkv, hd)
+        v = _proj(cfg, nkv * hd, "v_proj")(x).reshape(b, s, nkv, hd)
+
+        cos, sin = _rope(positions, hd, cfg.rope_theta)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        if kv_cache is not None:
+            ck, cv = kv_cache  # (b, max_len, nkv, hd)
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_len, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_len, axis=1)
+            k_all, v_all = ck, cv
+            kv_len = ck.shape[1]
+            new_cache = (ck, cv)
+        else:
+            k_all, v_all = k, v
+            kv_len = s
+            new_cache = None
+
+        # GQA: repeat kv heads
+        rep = nh // nkv
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_all, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+
+        # causal mask in absolute positions (works for prefill & decode)
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, kv_len), 3)
+        q_pos = positions[:, None, :, None]
+        mask = kv_pos <= q_pos
+        if kv_cache is not None:
+            mask = jnp.logical_and(mask, kv_pos < cache_len + s)
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all)
+        ctx = ctx.reshape(b, s, nh * hd)
+        out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        gate = _proj(cfg, cfg.intermediate_size, "gate_proj")(x)
+        up = _proj(cfg, cfg.intermediate_size, "up_proj")(x)
+        h = jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up
+        return _proj(cfg, cfg.hidden_size, "down_proj")(h)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_cache=None, cache_len=None):
+        cfg = self.cfg
+        h, new_cache = LlamaAttention(cfg, name="attn")(
+            RMSNorm(cfg.rms_eps, cfg.dtype, name="input_norm")(x),
+            positions,
+            kv_cache,
+            cache_len,
+        )
+        x = x + h
+        x = x + LlamaMLP(cfg, name="mlp")(
+            RMSNorm(cfg.rms_eps, cfg.dtype, name="post_attn_norm")(x)
+        )
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder-only Llama; call with token ids.
+
+    ``kv_caches``: optional list of per-layer (k, v) for incremental decode;
+    returns (logits, new_caches).
+    """
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: Array,
+        positions: Optional[Array] = None,
+        kv_caches=None,
+        cache_len: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        b, s = tokens.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+        embed = self.param(
+            "embed",
+            lambda key: jax.random.normal(
+                key, (cfg.vocab_size, cfg.hidden_size), jnp.float32
+            )
+            * 0.02,
+        )
+        x = embed[tokens].astype(cfg.dtype)
+
+        new_caches = []
+        for i in range(cfg.num_layers):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            x, nc = LlamaBlock(cfg, name=f"layer_{i}")(x, positions, cache_i, cache_len)
+            new_caches.append(nc)
+
+        x = RMSNorm(cfg.rms_eps, cfg.dtype, name="final_norm")(x)
+        logits = jnp.dot(
+            x, embed.T.astype(cfg.dtype), preferred_element_type=jnp.float32
+        )
+        return logits, (new_caches if kv_caches is not None else None)
+
+
+def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
+    """Allocate empty per-layer KV caches: (b, max_len, kv_heads, head_dim)."""
+    max_len = max_len or cfg.max_seq_len
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def decode_step(model: LlamaModel, params, tokens, kv_caches, cache_len):
+    """One decode step: tokens (b, 1) → (next_logits, new_caches).
+
+    Designed to be ``jit``-ed once and reused for every generated token.
+    """
+    positions = jnp.broadcast_to(cache_len, (tokens.shape[0], 1)).astype(jnp.int32)
+    logits, new_caches = model.apply(
+        params, tokens, positions=positions, kv_caches=kv_caches, cache_len=cache_len
+    )
+    return logits[:, -1], new_caches
+
+
+def prefill(model: LlamaModel, params, tokens, kv_caches):
+    """Prefill the cache with a full prompt; returns (logits, caches)."""
+    return model.apply(
+        params, tokens, kv_caches=kv_caches, cache_len=jnp.zeros((), jnp.int32)
+    )

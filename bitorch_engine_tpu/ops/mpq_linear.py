@@ -1,0 +1,114 @@
+"""MPQ (mixed-precision-quantized, weight-only) linear op.
+
+TPU-native re-design of the reference's MPQ stack
+(``nbit/cuda/mpq_layer.py:14-120`` autograd Function +
+``mpq_linear_cuda_kernel.cu`` fused dequant GEMV):
+
+* Forward: ``out = x @ dequant(qweight)`` with 16-bit activations and
+  1/2/4/8-bit group-quantized weights.  Two regimes, mirroring the
+  reference's batch≤32 fused-GEMV vs batch>32 dequant+cuBLAS split
+  (``mpq_layer.py:59-65``, ``exl2/config.h:4``):
+
+  - **decode** (small M): the fused Pallas kernel
+    (:mod:`bitorch_engine_tpu.ops.pallas.dequant_matmul`) streams packed
+    int32 words HBM→VMEM, unpacks to bf16 in-register and feeds the MXU —
+    HBM traffic is ``bits/16`` of the bf16 weight, which is the whole
+    performance story for memory-bound decode.
+  - **prefill/training** (large M): dequantize-to-bf16 (cheap, XLA-fused)
+    + plain MXU matmul, compute-bound so the extra bandwidth is hidden.
+
+* Backward (parity ``mpq_layer.py:79-120``):
+  ``grad_input = g @ dequant(W)^T`` and the full-rank fp weight cotangent
+  ``x^T @ g`` delivered via ``MPQTensor.grad_shadow`` (the reference's
+  ``privileged_grad``).  No gradient flows to scales/zeros — the optimizer
+  updates zeros out-of-band every 5 steps (``model_helper.py:521-522``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..qtensor import MPQTensor
+from .quant import dequantize_mpq
+
+Array = jax.Array
+
+# M threshold between the fused-dequant (decode) kernel and dequant+matmul.
+# The reference uses 32 (MAX_Q_GEMM_ROWS, exl2/config.h:4); on TPU the MXU
+# prefers the dequant+matmul path earlier, but the fused path wins while the
+# computation stays HBM-bound.
+DECODE_MAX_ROWS = 32
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def mpq_linear(x: Array, qt: MPQTensor) -> Array:
+    """Quantized linear: ``x @ dequant(qt)``, differentiable via custom_vjp.
+
+    ``x``: fp ``(..., K)``; returns ``(..., N)``.
+    """
+    return _mpq_linear(x, qt)
+
+
+@jax.custom_vjp
+def _mpq_linear(x: Array, qt: MPQTensor) -> Array:
+    return _mpq_forward(x, qt)
+
+
+def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2d = x.reshape(-1, k)
+    m = x2d.shape[0]
+
+    if _use_pallas() and qt.g_idx is None:
+        from .pallas.dequant_matmul import mpq_matmul_pallas
+
+        try:
+            out = mpq_matmul_pallas(x2d, qt)
+            return out.reshape(*lead, -1)
+        except NotImplementedError:
+            pass
+
+    w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
+    out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(*lead, -1)
+
+
+def _mpq_fwd(x, qt):
+    return _mpq_forward(x, qt), (x, qt)
+
+
+def _mpq_bwd(res, g):
+    x, qt = res
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = g.shape[-1]
+    g2d = g.reshape(-1, n).astype(x.dtype)
+    x2d = x.reshape(-1, k)
+
+    w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
+    grad_input = jnp.dot(g2d, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def ct(leaf):
+        if leaf is None:
+            return None
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    grad_qt = jax.tree_util.tree_map(ct, qt)
+    if qt.grad_shadow is not None:
+        # privileged grad: full-rank fp cotangent x^T g (mpq_layer.py:116)
+        gw = jnp.dot(x2d.T, g2d, preferred_element_type=jnp.float32)
+        grad_qt = grad_qt.replace(grad_shadow=gw.astype(qt.grad_shadow.dtype))
+    return grad_input.reshape(*lead, k), grad_qt
+
+
+_mpq_linear.defvjp(_mpq_fwd, _mpq_bwd)

@@ -1,0 +1,173 @@
+"""Bit-packing / unpacking primitives (pure JAX, XLA-fusable).
+
+Functional parity targets in the reference:
+
+* GPTQ-style int32 row packing / unpacking —
+  ``utils/quant_operators.py:310-368`` (``gptq_style_unpacking`` /
+  ``gptq_style_zeros_packing``) and ``layers/qlinear/nbit/cuda/utils.py:5-147``
+  (``unpack_qweight`` / ``pack_fp_weight``).
+* Sign-bit packing for binary tensors — ``functions/cuda/functions_cuda_kernel.cu``
+  (``tensor_pack_to_uint8`` / ``uint8_to_unpacked_tensor``) and the CPU
+  reference ``get_binary_row`` (``quant_operators.py:118-173``).
+
+Everything here is shape-static and uses logical shifts so it lowers to plain
+vector ops on the TPU VPU; XLA fuses these into surrounding computations.
+The Pallas kernels in ``ops/pallas`` re-implement the unpack inline in VMEM —
+these functions are the semantic reference they are tested against.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+_jit = functools.partial(jax.jit, inline=True)
+
+
+SUPPORTED_BITS = (1, 2, 4, 8)
+
+
+def _shift_amounts(w_bit: int) -> Array:
+    """Bit offsets of the ``32 // w_bit`` values inside one int32 word (LSB first)."""
+    if w_bit not in SUPPORTED_BITS:
+        raise ValueError(
+            f"w_bit={w_bit} unsupported; int32 packing needs w_bit in "
+            f"{SUPPORTED_BITS} (parity with reference mpq_layer.py:160)"
+        )
+    ppw = 32 // w_bit
+    return (jnp.arange(ppw, dtype=jnp.int32) * w_bit)
+
+
+# ---------------------------------------------------------------------------
+# GPTQ-style packing along the *row* (K) axis: int32 (K//32*b, N) <-> int (K, N)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit',))
+def pack_rows(intweight: Array, w_bit: int) -> Array:
+    """Pack unsigned int values in [0, 2^w_bit) along axis 0 into int32 words.
+
+    ``intweight``: int array ``(K, N)``; returns int32 ``(K // 32 * w_bit, N)``.
+    Parity: ``pack_fp_weight`` bit-packing step (``nbit/cuda/utils.py:133-142``).
+    """
+    k, n = intweight.shape
+    ppw = 32 // w_bit
+    if k % ppw != 0:
+        raise ValueError(f"K={k} must be a multiple of {ppw} for w_bit={w_bit}")
+    vals = intweight.astype(jnp.uint32).reshape(k // ppw, ppw, n)
+    shifts = _shift_amounts(w_bit).astype(jnp.uint32)[None, :, None]
+    words = jnp.sum(lax.shift_left(vals, shifts), axis=1, dtype=jnp.uint32)
+    return words.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit',))
+def unpack_rows(packed: Array, w_bit: int) -> Array:
+    """Inverse of :func:`pack_rows`: int32 ``(K//32*b, N)`` → int32 ``(K, N)`` in [0, 2^b).
+
+    Parity: ``unpack_qweight`` GPTQ branch (``nbit/cuda/utils.py:31-34``).
+    """
+    kw, n = packed.shape
+    ppw = 32 // w_bit
+    mask = jnp.uint32((1 << w_bit) - 1)
+    words = packed.astype(jnp.uint32)[:, None, :]  # (kw, 1, n)
+    shifts = _shift_amounts(w_bit).astype(jnp.uint32)[None, :, None]
+    vals = lax.shift_right_logical(jnp.broadcast_to(words, (kw, ppw, n)), shifts) & mask
+    return vals.reshape(kw * ppw, n).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# GPTQ-style zeros packing along the *column* (N) axis: (G, N) <-> int32 (G, N//32*b)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit',))
+def pack_cols(zeros: Array, w_bit: int) -> Array:
+    """Pack zero-points along the last axis, storing ``zero - 1`` per GPTQ convention.
+
+    ``zeros``: int ``(G, N)`` in [1, 2^b]; returns int32 ``(G, N // 32 * b)``.
+    Parity: ``gptq_style_zeros_packing`` (``quant_operators.py:348-368``).
+    """
+    g, n = zeros.shape
+    ppw = 32 // w_bit
+    if n % ppw != 0:
+        raise ValueError(f"N={n} must be a multiple of {ppw} for w_bit={w_bit}")
+    mask = jnp.uint32((1 << w_bit) - 1)
+    vals = (zeros.astype(jnp.int32) - 1).astype(jnp.uint32) & mask
+    vals = vals.reshape(g, n // ppw, ppw)
+    shifts = _shift_amounts(w_bit).astype(jnp.uint32)[None, None, :]
+    words = jnp.sum(lax.shift_left(vals, shifts), axis=-1, dtype=jnp.uint32)
+    return words.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit',))
+def unpack_cols(packed_zeros: Array, w_bit: int) -> Array:
+    """Inverse of :func:`pack_cols`; returns int32 ``(G, N)`` with the ``+1`` re-applied.
+
+    Parity: zeros branch of ``unpack_qweight`` (``nbit/cuda/utils.py:37-41``).
+    """
+    g, nw = packed_zeros.shape
+    ppw = 32 // w_bit
+    mask = jnp.uint32((1 << w_bit) - 1)
+    words = packed_zeros.astype(jnp.uint32)[:, :, None]
+    shifts = _shift_amounts(w_bit).astype(jnp.uint32)[None, None, :]
+    vals = lax.shift_right_logical(jnp.broadcast_to(words, (g, nw, ppw)), shifts) & mask
+    return vals.reshape(g, nw * ppw).astype(jnp.int32) + 1
+
+
+# ---------------------------------------------------------------------------
+# Sign-bit packing for binary tensors: fp/int8 <-> uint32 words along last axis
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pack_signs(x: Array) -> Array:
+    """Pack signs along the last axis into uint32 words (bit j = 1 iff x[..., j] >= 0).
+
+    ``x``: ``(..., K)`` with K % 32 == 0 → uint32 ``(..., K // 32)``.
+    Bit order parity with reference ``get_binary_row``
+    (``quant_operators.py:118-173``): LSB holds the first element.
+    """
+    *lead, k = x.shape
+    if k % 32 != 0:
+        raise ValueError(f"last axis {k} must be a multiple of 32")
+    bits = (x >= 0).astype(jnp.uint32).reshape(*lead, k // 32, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * (bits.ndim - 1) + (32,))
+    return jnp.sum(lax.shift_left(bits, shifts), axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=('dtype',))
+def unpack_signs(packed: Array, dtype=jnp.float32) -> Array:
+    """Inverse of :func:`pack_signs`: uint32 ``(..., Kw)`` → ±1 values ``(..., Kw*32)``.
+
+    Parity: ``uint8_to_unpacked_tensor`` semantics (unpack to ±scale with
+    scale=1; reference ``functions/cuda/functions.py``).
+    """
+    *lead, kw = packed.shape
+    words = packed[..., None]
+    shifts = jnp.arange(32, dtype=jnp.uint32).reshape((1,) * (words.ndim - 1) + (32,))
+    bits = lax.shift_right_logical(words, shifts) & jnp.uint32(1)
+    pm1 = bits.astype(jnp.int32) * 2 - 1
+    return pm1.reshape(*lead, kw * 32).astype(dtype)
+
+
+def pad_to_multiple(x: Array, axis: int, multiple: int, value=0) -> Tuple[Array, int]:
+    """Pad ``axis`` of ``x`` up to the next multiple; returns (padded, pad_amount).
+
+    TPU-native analogue of reference ``pad_last_2_dims_to_multiple_of_128`` /
+    ``pad_embedding_dim`` (``utils/model_helper.py:54-117``) — here a generic
+    helper used to align shapes to (8, 128)/MXU tiling.
+    """
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value), pad

@@ -1,0 +1,324 @@
+"""Quantization math: scalar quantizers, MPQ (GPTQ/GBA) quantize/dequantize,
+GBA double-quant decompression, binary weight initialization.
+
+Functional parity targets in the reference:
+
+* ``nv_tensor_quant`` — ``utils/quant_operators.py:7-90``
+* ``q4_quantization`` / ``q8_quantization`` — ``quant_operators.py:234-307``
+* ``init_weight`` (binary int8 init + L1 scale) — ``utils/model_helper.py:286-327``
+* MPQ dequantize (3 styles) — ``nbit/cuda/utils.py:5-69`` (``unpack_qweight``)
+* MPQ requantize/pack — ``nbit/cuda/utils.py:72-147`` (``pack_fp_weight``)
+* GBA double-quant decompress — ``nbit/cuda/mpq_layer.py:163-204``
+  (``MPQLinearCuda.prepare_params``)
+
+All functions are pure and jit-safe; nothing mutates in place.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..qtensor import BinaryQTensor, IntQTensor, MPQTensor
+from . import packing
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Scalar / per-tensor quantizers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('num_bits', 'narrow_range'))
+def nv_tensor_quant(
+    inputs: Array,
+    amax: Optional[Array] = None,
+    num_bits: int = 8,
+    narrow_range: bool = True,
+) -> Tuple[Array, Array]:
+    """Symmetric per-tensor quantization (TensorRT-style).
+
+    Parity: ``quant_operators.py:7-90`` (signed path, the only one the
+    reference exercises).  Returns ``(q, scale)`` with
+    ``q = clamp(round(x * scale), -max_bound, max_bound)`` computed in fp32.
+    """
+    x = inputs.astype(jnp.float32)
+    if amax is None:
+        amax = jnp.max(x)  # NOTE: reference uses amax over all elements
+    amax = jnp.asarray(amax, jnp.float32)
+    max_bound = float(2.0 ** (num_bits - 1) - 1.0)
+    min_bound = -max_bound if narrow_range else -max_bound - 1.0
+    scale = max_bound / amax
+    # amax ~ 0 → quantize everything to 0 with scale 1 (reference :78-85)
+    epsilon = 1.0 / (1 << 24)
+    tiny = amax <= epsilon
+    q = jnp.clip(jnp.round(x * jnp.where(tiny, 0.0, scale)), min_bound, max_bound)
+    scale = jnp.where(tiny, 1.0, scale)
+    return q.astype(inputs.dtype), scale
+
+
+def q8_quantization(x: Array, scale_a: Optional[Array] = None, eps: float = 1e-5):
+    """Uniform 8-bit activation quantization; parity ``quant_operators.py:234-269``."""
+    xf = x.astype(jnp.float32)
+    if scale_a is None:
+        scale = 2.0 * jnp.mean(jnp.abs(xf)) / 11.269
+        scale = jnp.maximum(scale, eps)
+        return jnp.clip(jnp.round(xf / scale), -128, 127), scale
+    scale = jnp.maximum(scale_a.astype(jnp.float32), eps)
+    return jnp.clip(jnp.round(xf / scale), -128, 127)
+
+
+def q4_quantization(x: Array, scale_a: Optional[Array] = None, eps: float = 1e-5):
+    """Uniform 4-bit activation quantization; parity ``quant_operators.py:272-307``."""
+    xf = x.astype(jnp.float32)
+    if scale_a is None:
+        scale = 2.0 * jnp.mean(jnp.abs(xf)) / 5.6345
+        scale = jnp.maximum(scale, eps)
+        return jnp.clip(jnp.round(xf / scale), -8, 7), scale
+    scale = jnp.maximum(scale_a.astype(jnp.float32), eps)
+    return jnp.clip(jnp.round(xf / scale), -8, 7)
+
+
+# ---------------------------------------------------------------------------
+# Binary / n-bit QAT weight initialization
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def init_binary_weight(weight: Array) -> BinaryQTensor:
+    """fp weight → int8 binary-QAT weight + L1 scale.
+
+    Parity: ``init_weight`` (``model_helper.py:286-327``): scale = mean |w|,
+    weight centered, int8-quantized via nv_tensor_quant, zeros replaced by the
+    sign of the centered weight so no sign information is lost.
+    """
+    w = weight.astype(jnp.float32)
+    scale_w = jnp.sum(jnp.abs(w)) / w.size
+    centered = w - jnp.mean(w)
+    w_int8, _ = nv_tensor_quant(centered)
+    w_int8 = jnp.where(w_int8 == 0, jnp.sign(centered), w_int8)
+    return BinaryQTensor(
+        data=w_int8.astype(jnp.int8),
+        scale_w=scale_w,
+        in_features=weight.shape[1],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit',))
+def init_nbit_weight(weight: Array, w_bit: int = 4) -> IntQTensor:
+    """fp weight → int8 n-bit QAT weight with a dequant-multiplier scale.
+
+    ``scale_w = 2·mean|w| / divisor`` mirrors the reference's
+    ``prepare_params`` for Q4/Q8 layers (``q4_layer.py:146-147`` /
+    ``q8_layer.py``): ``w ≈ data * scale_w``.  The optimizer requantizes with
+    ``nv_tensor_quant`` after every step (``model_helper.py:452-483``).
+    """
+    w = weight.astype(jnp.float32)
+    divisor = 5.6345 if w_bit == 4 else 11.269
+    scale_w = jnp.maximum(2.0 * jnp.mean(jnp.abs(w)) / divisor, 1e-5)
+    qlow, qhigh = -(2.0 ** (w_bit - 1)), 2.0 ** (w_bit - 1) - 1.0
+    data = jnp.clip(jnp.round(w / scale_w), qlow, qhigh)
+    return IntQTensor(data=data.astype(jnp.int8), scale_w=scale_w, w_bit=w_bit)
+
+
+@jax.jit
+def pack_binary_weight(qt: BinaryQTensor) -> BinaryQTensor:
+    """int8 QAT binary weight → fully bit-packed inference weight (32x smaller).
+
+    Parity: ``generate_quantized_weight`` + ``w_pack`` kernels
+    (``binary/cuda/layer.py:202-231``).
+    """
+    if qt.packed:
+        return qt
+    data, _ = packing.pad_to_multiple(qt.data.astype(jnp.float32), 1, 32, value=-1.0)
+    return BinaryQTensor(
+        data=packing.pack_signs(data),
+        scale_w=qt.scale_w,
+        packed=True,
+        in_features=qt.data.shape[1],
+    )
+
+
+# ---------------------------------------------------------------------------
+# MPQ (GPTQ / GBA) quantize & dequantize
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('dtype',))
+def dequantize_mpq(qt: MPQTensor, dtype=jnp.bfloat16) -> Array:
+    """Reconstruct the fp weight ``(K, N)`` from an MPQTensor.
+
+    Parity with the three styles of ``unpack_qweight``
+    (``nbit/cuda/utils.py:30-51``):
+
+    1. asym (classical GPTQ):  ``w = scales[g] * (q - zeros[g])`` with packed
+       zeros carrying the ``+1`` offset.
+    2. sym with g_idx:         ``w = q * scales[g] - zeros[g]``.
+    3. sym without g_idx:      groups are contiguous; optional ``q_perm``
+       scatter restores the original row order
+       (``quant_operators.py:337-341``).
+    """
+    k, n = qt.logical_shape
+    q = packing.unpack_rows(qt.packed, qt.w_bit)  # (K, N) int32
+    if qt.asym:
+        zeros = packing.unpack_cols(qt.zeros, qt.w_bit)  # (G, N) int, incl. +1
+        g = _group_index(qt, k)
+        w = qt.scales[g].astype(jnp.float32) * (q - zeros[g]).astype(jnp.float32)
+    else:
+        g = _group_index(qt, k)
+        w = (
+            q.astype(jnp.float32) * qt.scales[g].astype(jnp.float32)
+            - qt.zeros[g].astype(jnp.float32)
+        )
+        if qt.g_idx is None and qt.q_perm is not None:
+            # rows were stored permuted; scatter back to logical order
+            w = jnp.zeros_like(w).at[qt.q_perm].set(w)
+    return w.astype(dtype)
+
+
+def _group_index(qt: MPQTensor, k: int) -> Array:
+    if qt.g_idx is not None:
+        return qt.g_idx
+    return (jnp.arange(k, dtype=jnp.int32) // qt.group_size)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size', 'asym'))
+def quantize_mpq(
+    weight: Array,
+    w_bit: int = 4,
+    group_size: int = 128,
+    asym: bool = False,
+) -> MPQTensor:
+    """RTN group-wise quantization of an fp weight ``(K, N)`` into an MPQTensor.
+
+    This is the from-scratch quantizer (the reference consumes externally
+    produced GPTQ/GBA checkpoints; its own repack path is ``pack_fp_weight``,
+    ``nbit/cuda/utils.py:72-147`` — the math here matches that inverse).
+    """
+    k, n = weight.shape
+    if k % group_size != 0:
+        raise ValueError(f"K={k} not a multiple of group_size={group_size}")
+    w = weight.astype(jnp.float32).reshape(k // group_size, group_size, n)
+    maxq = float(2**w_bit - 1)
+    if asym:
+        wmin = jnp.min(w, axis=1)
+        wmax = jnp.max(w, axis=1)
+        scales = jnp.maximum((wmax - wmin) / maxq, 1e-8)  # (G, N)
+        zeros_int = jnp.clip(jnp.round(-wmin / scales), 1, maxq).astype(jnp.int32)
+        q = jnp.clip(
+            jnp.round(w / scales[:, None, :]) + zeros_int[:, None, :], 0, maxq
+        ).astype(jnp.int32)
+        return MPQTensor(
+            packed=packing.pack_rows(q.reshape(k, n), w_bit),
+            scales=scales,
+            zeros=packing.pack_cols(zeros_int, w_bit),
+            w_bit=w_bit,
+            group_size=group_size,
+            asym=True,
+        )
+    # symmetric/GBA style: w = q * scale - zero  with q in [0, maxq]
+    wmin = jnp.min(w, axis=1)
+    wmax = jnp.max(w, axis=1)
+    scales = jnp.maximum((wmax - wmin) / maxq, 1e-8)
+    zeros = -wmin  # fp subtractive zero: w = q*scale - (-wmin) → q = (w + zero)/scale
+    q = jnp.clip(jnp.round((w + zeros[:, None, :]) / scales[:, None, :]), 0, maxq)
+    return MPQTensor(
+        packed=packing.pack_rows(q.reshape(k, n).astype(jnp.int32), w_bit),
+        scales=scales,
+        zeros=zeros,
+        w_bit=w_bit,
+        group_size=group_size,
+        asym=False,
+    )
+
+
+@jax.jit
+def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = None) -> Array:
+    """fp weight ``(K, N)`` → packed int32, reusing ``qt``'s scales/zeros/g_idx.
+
+    Parity: ``pack_fp_weight`` (``nbit/cuda/utils.py:102-147``).  Used by the
+    DiodeMix MPQ update regime after the AdamW step on the dequantized weight.
+    """
+    k, n = qt.logical_shape
+    maxq = 2**qt.w_bit - 1
+    g = _group_index(qt, k)
+    scales = qt.scales[g].astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    if qt.asym:
+        if unpacked_zeros is None:
+            zeros = packing.unpack_cols(qt.zeros, qt.w_bit)
+        else:
+            zeros = unpacked_zeros
+        intweight = jnp.clip(
+            jnp.round(w / scales + zeros[g].astype(jnp.float32)), 0, maxq
+        ).astype(jnp.int32)
+    else:
+        zeros = qt.zeros[g].astype(jnp.float32)
+        if qt.g_idx is None and qt.q_perm is not None:
+            w = w[qt.q_perm]  # gather into stored (permuted) order, ref :124-126
+        intweight = jnp.clip(jnp.round((w + zeros) / scales), 0, maxq).astype(jnp.int32)
+    return packing.pack_rows(intweight, qt.w_bit)
+
+
+# ---------------------------------------------------------------------------
+# GBA double-quantization decompression ("prepare_params")
+# ---------------------------------------------------------------------------
+
+
+def decompress_gba_sym(
+    qstatistic: Array,
+    qzeros_zeros: Array,
+    qzeros_scales: Array,
+    qscales_zeros: Array,
+    qscales_scales: Array,
+    out_channels: int,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """Decompress GBA double-quantized scales/zeros (symmetric mode).
+
+    Parity: ``MPQLinearCuda.prepare_params`` (``mpq_layer.py:172-183``):
+    ``qstatistic`` uint8 ``(G, N/dqg, dqg)`` holds the 4-bit quantized scale in
+    the high nibble and the 4-bit quantized zero in the low nibble;
+    both are dequantized with their own (zero, scale) pairs and flattened to
+    ``(G, N)``.
+    """
+    qs = qstatistic.astype(jnp.uint8)
+    qscales = (qs >> 4).astype(dtype)
+    qzeros = (qs & 0x0F).astype(dtype)
+    g = qs.shape[0]
+    zeros = ((qzeros - qzeros_zeros.astype(dtype)) * qzeros_scales.astype(dtype)).reshape(
+        g, out_channels
+    )
+    scales = (
+        (qscales - qscales_zeros.astype(dtype)) * qscales_scales.astype(dtype)
+    ).reshape(g, out_channels)
+    return scales, zeros
+
+
+def decompress_gba_asym(
+    qscales: Array,
+    qscales_zeros: Array,
+    qscales_scales: Array,
+    out_channels: int,
+    w_bit: int,
+    dtype=jnp.float32,
+) -> Array:
+    """Decompress GBA double-quantized scales (asymmetric mode).
+
+    Parity: ``mpq_layer.py:176-183`` — for w_bit==2 the stored qscales get an
+    extra trailing axis; zeros stay as the packed int32 ``qzeros``.
+    """
+    qsc = qscales.astype(dtype)
+    if w_bit == 2 and qsc.ndim == 2:
+        qsc = qsc[..., None]
+    g = qsc.shape[0]
+    scales = ((qsc - qscales_zeros.astype(dtype)) * qscales_scales.astype(dtype)).reshape(
+        g, out_channels
+    )
+    return scales

@@ -1,0 +1,8 @@
+from .convert import (  # noqa: F401
+    MPQ_STRATEGIES,
+    count_quantized_bytes,
+    get_mpq_config,
+    prepare_for_inference,
+    prepare_for_training,
+    quantize_params,
+)

@@ -1,0 +1,122 @@
+"""Model surgery & quantization strategies (params-tree transformations).
+
+Parity targets: ``utils/convert.py`` (``collect_layers`` / ``replace_layers``
+/ ``quantize_linear_with_*`` and the MPQ strategy table ``get_mpq_config``,
+``convert.py:94-117``) and ``utils/model_helper.py`` packing helpers.
+
+TPU-native translation: instead of mutating ``nn.Module`` objects, we
+transform *parameter pytrees* — a fp checkpoint's kernel arrays are replaced
+by QTensors produced with the chosen strategy, keyed by path regex (the
+pattern in SNIPPETS.md's sharding_map).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import quant
+from ..qtensor import QTensorBase, qtensor_leaves, with_grad_shadow, without_grad_shadow
+
+Array = jax.Array
+
+# Strategy strings "w_bit-group_size-dq_group_size" (reference convert.py:102-116).
+MPQ_STRATEGIES: Dict[str, Tuple[int, int, int]] = {
+    "2-8-32": (2, 8, 32),
+    "2-32-32": (2, 32, 32),
+    "2-128-32": (2, 128, 32),
+    "4-128-256": (4, 128, 256),
+    "8-128-256": (8, 128, 256),
+}
+
+
+def get_mpq_config(strategy: str) -> Dict[str, int]:
+    """Strategy string → kwargs for MPQ quantization (convert.py:94-117)."""
+    if strategy not in MPQ_STRATEGIES:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; options: {sorted(MPQ_STRATEGIES)}"
+        )
+    w_bit, group_size, dq_group_size = MPQ_STRATEGIES[strategy]
+    return {"w_bit": w_bit, "group_size": group_size, "dq_group_size": dq_group_size}
+
+
+def quantize_params(
+    params,
+    path_pattern: str = r"(kernel|weight)$",
+    strategy: str = "4-128-256",
+    asym: bool = False,
+    transpose: bool = False,
+):
+    """Replace matching fp weight leaves with MPQTensors.
+
+    ``transpose=True`` for torch-convention ``(out, in)`` weights (our
+    MPQTensor holical layout is ``(K, N)``; flax Dense kernels are already
+    ``(in, out)``).
+    """
+    cfg = get_mpq_config(strategy)
+
+    def visit(path, leaf):
+        pathstr = "/".join(str(getattr(p, "key", p)) for p in path)
+        if (
+            not isinstance(leaf, QTensorBase)
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 2
+            and re.search(path_pattern, pathstr)
+        ):
+            w = leaf.T if transpose else leaf
+            return quant.quantize_mpq(
+                w, w_bit=cfg["w_bit"], group_size=cfg["group_size"], asym=asym
+            )
+        return leaf
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=lambda x: isinstance(x, QTensorBase)
+    )
+    return jax.tree_util.tree_unflatten(
+        treedef, [visit(p, l) for p, l in flat]
+    )
+
+
+def prepare_for_training(params):
+    """Attach grad shadows to every QTensor (reference ``prepare_bie_layers``
+    + training-mode ``privileged_grad`` allocation)."""
+
+    def f(leaf):
+        if isinstance(leaf, QTensorBase):
+            return with_grad_shadow(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        f, params, is_leaf=lambda x: isinstance(x, QTensorBase)
+    )
+
+
+def prepare_for_inference(params):
+    """Drop grad shadows and pack binary weights (reference ``pack_bie_layers``)."""
+    from ..qtensor import BinaryQTensor
+
+    def f(leaf):
+        if isinstance(leaf, BinaryQTensor) and not leaf.packed:
+            return quant.pack_binary_weight(without_grad_shadow(leaf))
+        if isinstance(leaf, QTensorBase):
+            return without_grad_shadow(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        f, params, is_leaf=lambda x: isinstance(x, QTensorBase)
+    )
+
+
+def count_quantized_bytes(params) -> Dict[str, int]:
+    """Report packed vs would-be-fp16 footprint of all QTensors."""
+    packed = 0
+    fp16 = 0
+    for qt in qtensor_leaves(params):
+        for leaf in jax.tree_util.tree_leaves(qt):
+            packed += leaf.size * leaf.dtype.itemsize
+        k_n = qt.logical_shape
+        fp16 += 2 * k_n[0] * k_n[1]
+    return {"packed_bytes": packed, "fp16_bytes": fp16}

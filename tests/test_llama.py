@@ -1,0 +1,113 @@
+"""Llama model tests: forward, quantized-vs-fp parity, KV-cache decode
+consistency (decode must reproduce teacher-forced logits)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitorch_engine_tpu.models.llama import (
+    LlamaModel,
+    decode_step,
+    init_kv_caches,
+    prefill,
+    tiny_llama,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_llama(dtype=jnp.float32)
+    model = LlamaModel(cfg)
+    tokens = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    return cfg, model, params
+
+
+def test_forward_shape(tiny_model):
+    cfg, model, params = tiny_model
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    logits, _ = model.apply(params, tokens)
+    assert logits.shape == (2, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_causality(tiny_model):
+    """Changing a future token must not change past logits."""
+    cfg, model, params = tiny_model
+    t1 = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+    t2 = t1.at[0, 7].set((t1[0, 7] + 1) % cfg.vocab_size)
+    l1, _ = model.apply(params, t1)
+    l2, _ = model.apply(params, t2)
+    np.testing.assert_allclose(
+        np.asarray(l1[0, :7]), np.asarray(l2[0, :7]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_decode_matches_teacher_forcing(tiny_model):
+    """Prefill+decode logits must match the full-sequence forward pass."""
+    cfg, model, params = tiny_model
+    seq = 8
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, seq), 0, cfg.vocab_size)
+    full_logits, _ = model.apply(params, tokens)
+
+    # prefill on the first 4 tokens, decode the rest one at a time
+    caches = init_kv_caches(cfg, batch=1, max_len=16)
+    plogits, caches = prefill(model, params, tokens[:, :4], caches)
+    np.testing.assert_allclose(
+        np.asarray(plogits), np.asarray(full_logits[:, :4]), rtol=2e-4, atol=2e-4
+    )
+    for i in range(4, seq):
+        step_logits, caches = decode_step(
+            model, params, tokens[:, i : i + 1], caches, jnp.asarray(i, jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits),
+            np.asarray(full_logits[:, i]),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+
+
+def test_quantized_close_to_fp():
+    """4-bit model built from the fp model's weights stays close in logits."""
+    cfg_fp = tiny_llama(quantized=False, dtype=jnp.float32)
+    model_fp = LlamaModel(cfg_fp)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, 8), 0, cfg_fp.vocab_size)
+    params_fp = model_fp.init(jax.random.PRNGKey(5), tokens)
+
+    cfg_q = tiny_llama(quantized=True, dtype=jnp.float32, w_bit=4, group_size=64)
+    model_q = LlamaModel(cfg_q)
+    params_q_init = model_q.init(jax.random.PRNGKey(5), tokens)
+
+    # quantize the fp kernels into the quantized model's structure
+    # (flax Dense stores 'kernel' (K, N); MPQLinear stores 'qweight')
+    from bitorch_engine_tpu.ops import quant as q
+
+    def convert(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for key, val in tree.items():
+                if isinstance(val, dict) and set(val) == {"kernel"}:
+                    out[key] = {
+                        "qweight": q.quantize_mpq(val["kernel"], w_bit=4, group_size=64)
+                    }
+                else:
+                    out[key] = convert(val)
+            return out
+        return tree
+
+    converted = convert(jax.tree_util.tree_map(lambda x: x, params_fp))
+    # structures should now match the quantized model's params
+    chex_msg = (
+        jax.tree_util.tree_structure(converted),
+        jax.tree_util.tree_structure(params_q_init),
+    )
+    assert str(chex_msg[0]) == str(chex_msg[1]), chex_msg
+
+    l_fp, _ = model_fp.apply(params_fp, tokens)
+    l_q, _ = model_q.apply(converted, tokens)
+    p_fp = jax.nn.softmax(l_fp, axis=-1)
+    p_q = jax.nn.softmax(l_q, axis=-1)
+    tv = 0.5 * float(jnp.abs(p_fp - p_q).sum(-1).mean())
+    assert tv < 0.15, tv

@@ -1,0 +1,89 @@
+"""Round-trip and differential tests for bit-packing primitives.
+
+Mirrors the reference test philosophy (SURVEY.md §4): round-trip invariants
+(``pack(unpack(q)) == q``, reference ``test_nbit_linear.py:382-395``) and
+differential checks against an independent pure-Python/NumPy packing
+implementation (reference ``test_binary_linear.py:292-310``).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bitorch_engine_tpu.ops import packing
+
+
+@pytest.mark.parametrize("w_bit", [1, 2, 4, 8])
+@pytest.mark.parametrize("k,n", [(64, 16), (256, 128)])
+def test_pack_unpack_rows_roundtrip(w_bit, k, n):
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2**w_bit, size=(k, n), dtype=np.int32)
+    packed = packing.pack_rows(jnp.asarray(vals), w_bit)
+    assert packed.shape == (k // 32 * w_bit, n)
+    assert packed.dtype == jnp.int32
+    unpacked = packing.unpack_rows(packed, w_bit)
+    np.testing.assert_array_equal(np.asarray(unpacked), vals)
+
+
+@pytest.mark.parametrize("w_bit", [2, 4, 8])
+def test_pack_rows_bit_layout_matches_gptq(w_bit):
+    """Differential vs an independent NumPy implementation of GPTQ packing."""
+    rng = np.random.default_rng(1)
+    k, n = 64, 8
+    vals = rng.integers(0, 2**w_bit, size=(k, n), dtype=np.int64)
+    ppw = 32 // w_bit
+    ref = np.zeros((k // ppw, n), dtype=np.int64)
+    for kk in range(k):
+        ref[kk // ppw] |= vals[kk] << ((kk % ppw) * w_bit)
+    ref = ref.astype(np.uint32).astype(np.int64)
+    packed = np.asarray(packing.pack_rows(jnp.asarray(vals, jnp.int32), w_bit))
+    np.testing.assert_array_equal(packed.astype(np.uint32).astype(np.int64), ref)
+
+
+@pytest.mark.parametrize("w_bit", [2, 4, 8])
+def test_pack_unpack_cols_roundtrip(w_bit):
+    rng = np.random.default_rng(2)
+    g, n = 4, 64
+    zeros = rng.integers(1, 2**w_bit + 1, size=(g, n), dtype=np.int32)
+    packed = packing.pack_cols(jnp.asarray(zeros), w_bit)
+    assert packed.shape == (g, n // 32 * w_bit)
+    unpacked = packing.unpack_cols(packed, w_bit)
+    np.testing.assert_array_equal(np.asarray(unpacked), zeros)
+
+
+def test_pack_cols_matches_torch_reference_semantics():
+    """zeros are stored as (zero - 1) & mask, unpack re-adds 1 — the GPTQ
+    convention from quant_operators.py:348-368."""
+    w_bit = 4
+    zeros = np.full((1, 32), 8, dtype=np.int32)
+    packed = np.asarray(packing.pack_cols(jnp.asarray(zeros), w_bit))
+    # every nibble should hold 7 → word = 0x77777777
+    assert np.all(packed.astype(np.uint32) == 0x77777777)
+
+
+def test_pack_unpack_signs_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 128)).astype(np.float32)
+    packed = packing.pack_signs(jnp.asarray(x))
+    assert packed.shape == (5, 4)
+    assert packed.dtype == jnp.uint32
+    signs = np.asarray(packing.unpack_signs(packed))
+    expected = np.where(x >= 0, 1.0, -1.0)
+    np.testing.assert_array_equal(signs, expected)
+
+
+def test_pack_signs_bit_order():
+    """LSB-first bit order, matching reference get_binary_row
+    (quant_operators.py:143-151)."""
+    x = -np.ones((1, 32), dtype=np.float32)
+    x[0, 0] = 1.0  # only element 0 non-negative → word == 1
+    packed = np.asarray(packing.pack_signs(jnp.asarray(x)))
+    assert packed[0, 0] == 1
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((3, 100))
+    padded, pad = packing.pad_to_multiple(x, 1, 128)
+    assert padded.shape == (3, 128) and pad == 28
+    same, pad0 = packing.pad_to_multiple(padded, 1, 128)
+    assert same.shape == (3, 128) and pad0 == 0
