@@ -83,17 +83,24 @@ def _dequant_block(packed_u32, scales_blk, zeros_blk, w_bit: int, group_size: in
     """(bk/ppw, bn) int32 words → (bk, bn) dequantized values (in-VMEM)."""
     ppw = 32 // w_bit
     mask = jnp.uint32((1 << w_bit) - 1)
-    # row r of `words` holds packed[r // ppw]; shift (r % ppw)*b selects value
-    words = pltpu.repeat(packed_u32, ppw, axis=0)  # element-repeat along sublanes
+    # row r of `words` holds packed[r // ppw]; shift (r % ppw)*b selects value.
+    # jnp.repeat is an element-repeat (broadcast + sublane-collapse reshape);
+    # NB pltpu.repeat is tile-concat and would interleave rows.
+    words = jnp.repeat(packed_u32, ppw, axis=0)
     row_ids = lax.broadcasted_iota(jnp.int32, words.shape, 0)
     shifts = ((row_ids % ppw) * w_bit).astype(jnp.uint32)
-    q = (lax.shift_right_logical(words, shifts) & mask).astype(jnp.float32)
-    scales = pltpu.repeat(scales_blk.astype(jnp.float32), group_size, axis=0)
-    zeros = pltpu.repeat(zeros_blk.astype(jnp.float32), group_size, axis=0)
+    # Mosaic has no uint32→f32 cast; masked values fit in int32, so bitcast
+    # to int32 first (values < 2^31, so the reinterpretation is exact).
+    q_u32 = lax.shift_right_logical(words, shifts) & mask
+    q = pltpu.bitcast(q_u32, jnp.int32).astype(jnp.float32)
+    scales = jnp.repeat(scales_blk.astype(jnp.float32), group_size, axis=0)
+    zeros = jnp.repeat(zeros_blk.astype(jnp.float32), group_size, axis=0)
     return (q * scales - zeros).astype(out_dtype)
 
 
-def _mpq_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, w_bit, group_size, nk):
+def _mpq_kernel(
+    x_ref, packed_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, w_bit, group_size, nk, bg
+):
     i_k = pl.program_id(2)
 
     @pl.when(i_k == 0)
@@ -101,9 +108,12 @@ def _mpq_kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, w
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     packed = packed_ref[:].astype(jnp.uint32)
-    w = _dequant_block(
-        packed, scales_ref[:], zeros_ref[:], w_bit, group_size, x_ref.dtype
-    )
+    # scales/zeros are host-reshaped to (nk, bg_pad, N) so each K step indexes
+    # its own leading-dim slab — Mosaic requires statically 8-aligned sublane
+    # offsets, which a (bg, bn) block with bg < 8 can't give.
+    scales_blk = scales_ref[0, 0:bg, :]
+    zeros_blk = zeros_ref[0, 0:bg, :]
+    w = _dequant_block(packed, scales_blk, zeros_blk, w_bit, group_size, x_ref.dtype)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
     @pl.when(i_k == nk - 1)
@@ -137,8 +147,16 @@ def _mpq_matmul_call(
     bkp = bk // ppw
     bg = bk // group_size
 
+    # reshape group metadata to per-K-step slabs, padded to 8 sublanes
+    bg_pad = max(bg, 8)
+    scales3 = scales.reshape(nk, bg, n)
+    zeros3 = zeros.reshape(nk, bg, n)
+    if bg_pad != bg:
+        pad = ((0, 0), (0, bg_pad - bg), (0, 0))
+        scales3 = jnp.pad(scales3, pad)
+        zeros3 = jnp.pad(zeros3, pad)
     kernel = functools.partial(
-        _mpq_kernel, w_bit=w_bit, group_size=group_size, nk=nk
+        _mpq_kernel, w_bit=w_bit, group_size=group_size, nk=nk, bg=bg
     )
     flops = 2 * m_pad * k * n
     bytes_accessed = (
@@ -152,8 +170,8 @@ def _mpq_matmul_call(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda im, i_n, i_k: (im, i_k)),
             pl.BlockSpec((bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
-            pl.BlockSpec((bg, bn), lambda im, i_n, i_k: (i_k, i_n)),
-            pl.BlockSpec((bg, bn), lambda im, i_n, i_k: (i_k, i_n)),
+            pl.BlockSpec((1, bg_pad, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
+            pl.BlockSpec((1, bg_pad, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda im, i_n, i_k: (im, i_n)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
@@ -165,7 +183,7 @@ def _mpq_matmul_call(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x, packed, scales, zeros)
+    )(x, packed, scales3, zeros3)
     if m_pad != m:
         out = out[:m]
     return out

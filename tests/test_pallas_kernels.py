@@ -1,0 +1,76 @@
+"""Pallas kernel correctness (interpret mode on CPU; real TPU via bench.py).
+
+Differential pattern per SURVEY.md §4: the fused kernel must match the
+pure-XLA dequant+matmul reference bit-for-bit in fp32 interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitorch_engine_tpu.ops import quant
+from bitorch_engine_tpu.ops.pallas.dequant_matmul import (
+    mpq_matmul_pallas,
+    prepare_for_kernel,
+)
+
+
+def _mk(m, k, n, gs, w_bit, asym=False, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), dtype)
+    qt = quant.quantize_mpq(jnp.asarray(w), w_bit=w_bit, group_size=gs, asym=asym)
+    return x, qt
+
+
+@pytest.mark.parametrize("w_bit", [2, 4, 8])
+@pytest.mark.parametrize("m", [1, 8, 32])
+def test_kernel_matches_xla_dequant(w_bit, m):
+    k, n, gs = 512, 256, 128
+    x, qt = _mk(m, k, n, gs, w_bit)
+    out = mpq_matmul_pallas(x, qt, interpret=True)
+    ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_asym_converted():
+    """asym tensors are converted to sym form; results must match the asym
+    XLA dequant."""
+    x, qt = _mk(4, 256, 128, 64, 4, asym=True)
+    out = mpq_matmul_pallas(x, qt, interpret=True)
+    ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_prepare_for_kernel_sym_equivalence():
+    _, qt = _mk(1, 256, 128, 64, 4, asym=True)
+    qt_sym = prepare_for_kernel(qt)
+    assert not qt_sym.asym
+    w_asym = np.asarray(quant.dequantize_mpq(qt, dtype=jnp.float32))
+    w_sym = np.asarray(quant.dequantize_mpq(qt_sym, dtype=jnp.float32))
+    np.testing.assert_allclose(w_sym, w_asym, rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_llm_shape_bf16():
+    """bf16 activations at an LLM-ish shape (within bf16 tolerance)."""
+    m, k, n, gs = 8, 1024, 512, 128
+    x, qt = _mk(m, k, n, gs, 4, dtype=jnp.bfloat16)
+    out = mpq_matmul_pallas(x, qt, interpret=True)
+    ref = jnp.dot(
+        x.astype(jnp.float32), quant.dequantize_mpq(qt, dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_kernel_q_perm_gathers_activations():
+    rng = np.random.default_rng(3)
+    k, n, gs = 256, 128, 64
+    x, qt = _mk(2, k, n, gs, 4)
+    perm = jnp.asarray(rng.permutation(k).astype(np.int32))
+    qt_perm = qt.replace(q_perm=perm)
+    out = mpq_matmul_pallas(x, qt_perm, interpret=True)
+    ref = jnp.dot(x, quant.dequantize_mpq(qt_perm, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
