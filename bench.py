@@ -16,6 +16,7 @@ report % of the HBM-bandwidth roofline (v5e: ~819 GB/s).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache — TPU compiles through this sandbox's tunnel cost
+# 10-150s each; cached reruns are instant
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from bitorch_engine_tpu.ops import quant  # noqa: E402
 from bitorch_engine_tpu.ops.pallas.dequant_matmul import mpq_matmul_pallas  # noqa: E402

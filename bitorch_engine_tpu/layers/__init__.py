@@ -1,4 +1,10 @@
 from .attention import BMHA, LearnableBias  # noqa: F401
 from .conv import BinaryConv2d, Q4Conv2d  # noqa: F401
 from .embedding import BinaryEmbedding, BinaryEmbeddingBag  # noqa: F401
-from .linear import BinaryLinear, MPQLinear, Q4Linear, Q8Linear  # noqa: F401
+from .linear import (  # noqa: F401
+    BinaryLinear,
+    MBWQLinear,
+    MPQLinear,
+    Q4Linear,
+    Q8Linear,
+)

@@ -25,9 +25,10 @@ from flax import linen as nn
 
 from ..ops import quant
 from ..ops.binary_linear import binary_linear
+from ..ops.mbwq_linear import mbwq_linear, quantize_mbwq
 from ..ops.mpq_linear import mpq_linear
 from ..ops.qat_linear import qat_linear
-from ..qtensor import BinaryQTensor, IntQTensor, MPQTensor
+from ..qtensor import BinaryQTensor, IntQTensor, MBWQTensor, MPQTensor
 
 Array = jax.Array
 
@@ -142,3 +143,35 @@ class MPQLinear(nn.Module):
             )
             out = out + bias
         return out
+
+
+class MBWQLinear(nn.Module):
+    """Channel-mixed-bit-width linear (GreenBit/exl2-style).
+
+    Parity: ``MBWQLinearCuda`` (``nbit/cuda/mbwq_layer.py``).  ``strategy``
+    follows the reference's per-projection JSON format
+    (``test_nbit_linear_mixbits.py:26-29``), e.g.
+    ``{"bits": [4, 2], "bits_prop": [0.75, 0.25], "group_size": {"4": 32, "2": 32}}``.
+    """
+
+    out_features: int
+    strategy: Any = None
+    use_channel_scale: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = x.shape[-1]
+        strategy = self.strategy or {
+            "bits": [4, 2],
+            "bits_prop": [0.75, 0.25],
+            "group_size": {"4": 64, "2": 64},
+        }
+
+        def init_qweight(key):
+            w = _kaiming_uniform(key, (self.out_features, k)).T  # (K, N)
+            cs = jnp.ones((k,), jnp.float32) if self.use_channel_scale else None
+            return quantize_mbwq(w, strategy, channel_scale=cs)
+
+        qweight: MBWQTensor = self.param("qweight", init_qweight)
+        return mbwq_linear(x.astype(self.dtype), qweight)

@@ -47,6 +47,9 @@ class LlamaConfig:
     group_size: int = struct.field(pytree_node=False, default=128)
     asym: bool = struct.field(pytree_node=False, default=False)
     quantized: bool = struct.field(pytree_node=False, default=True)
+    # GreenBit channel-mixed-bit mode: a strategy tuple like
+    # ((2, 0.75), (4, 0.25)) → MBWQLinear projections (configs[3] path)
+    mbwq_strategy: Any = struct.field(pytree_node=False, default=None)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -122,6 +125,17 @@ def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
 
 
 def _proj(cfg: LlamaConfig, out_features: int, name: str):
+    if cfg.quantized and cfg.mbwq_strategy is not None:
+        from ..layers.linear import MBWQLinear
+
+        bits = [b for b, _ in cfg.mbwq_strategy]
+        props = [p for _, p in cfg.mbwq_strategy]
+        strategy = {
+            "bits": bits,
+            "bits_prop": props,
+            "group_size": {str(b): cfg.group_size for b in bits},
+        }
+        return MBWQLinear(out_features, strategy=strategy, dtype=cfg.dtype, name=name)
     if cfg.quantized:
         return MPQLinear(
             out_features,

@@ -25,6 +25,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..qtensor import MBWQTensor, MPQTensor
 from . import packing
@@ -33,33 +34,18 @@ from .quant import dequantize_mpq, quantize_mpq
 Array = jax.Array
 
 
-def assign_bits_by_sensitivity(
-    weight: Array, bits: Sequence[int], bits_prop: Sequence[float], group_size: int
-) -> np.ndarray:
-    """Assign a bit width to each K-row group by output-error sensitivity.
-
-    GreenBit's channel-mix idea: rows (input channels) whose weights carry
-    more energy get more bits.  Sensitivity proxy = per-row L2 norm.  Rows
-    are ranked and the top ``bits_prop[0]`` fraction gets ``bits[0]``, etc.
-    Assignment is done in blocks of ``group_size`` rows so quant groups stay
-    uniform-bit.
-    """
-    k = weight.shape[0]
-    n_blocks = k // group_size
-    norms = np.asarray(
-        jnp.sum(weight.astype(jnp.float32) ** 2, axis=1)
-        .reshape(n_blocks, group_size)
-        .sum(axis=1)
-    )
-    order = np.argsort(-norms)  # descending energy
-    out = np.zeros(n_blocks, dtype=np.int32)
-    start = 0
-    for b, prop in zip(bits, bits_prop):
-        cnt = int(round(prop * n_blocks))
-        out[order[start : start + cnt]] = b
-        start += cnt
-    out[order[start:]] = bits[-1]
-    return out
+def _segment_counts(bits: Sequence[int], props: Sequence[float], n_blocks: int):
+    """Static per-bit block counts from the strategy proportions."""
+    counts = []
+    used = 0
+    for i, (b, p) in enumerate(zip(bits, props)):
+        c = int(round(p * n_blocks)) if i < len(bits) - 1 else n_blocks - used
+        c = max(0, min(c, n_blocks - used))
+        counts.append(c)
+        used += c
+    if used < n_blocks:
+        counts[-1] += n_blocks - used
+    return counts
 
 
 def quantize_mbwq(
@@ -67,42 +53,47 @@ def quantize_mbwq(
     strategy: Dict,
     channel_scale: Optional[Array] = None,
 ) -> MBWQTensor:
-    """fp weight ``(K, N)`` → MBWQTensor per a mixed-bit strategy dict."""
+    """fp weight ``(K, N)`` → MBWQTensor per a mixed-bit strategy dict.
+
+    GreenBit's channel-mix idea: input-channel blocks whose weights carry
+    more energy get more bits (sensitivity proxy = per-block L2 norm).
+    Segment *sizes* are static (derived from ``bits_prop``), only the
+    block order is data-dependent — so this is fully jit/trace-safe and
+    works inside flax ``init``.
+    """
     bits = [int(b) for b in strategy["bits"]]
     props = [float(p) for p in strategy["bits_prop"]]
     gs_map = {int(kk): int(v) for kk, v in strategy.get("group_size", {}).items()}
     base_gs = min(gs_map.values()) if gs_map else 32
 
     k, n = weight.shape
-    block_bits = assign_bits_by_sensitivity(weight, bits, props, base_gs)
+    n_blocks = k // base_gs
+    w = weight.astype(jnp.float32)
+    norms = jnp.sum(w * w, axis=1).reshape(n_blocks, base_gs).sum(axis=1)
+    order = jnp.argsort(-norms)  # descending energy, traced is fine
 
-    # build q_perm: rows sorted into descending-bit contiguous segments
-    # (parity with trans_qweight's rows_8..rows_2 segmentation)
-    seg_rows = []
-    perm_parts = []
-    for b in sorted(set(bits), reverse=True):
-        blocks = np.nonzero(block_bits == b)[0]
-        rows = (blocks[:, None] * base_gs + np.arange(base_gs)[None]).reshape(-1)
-        if rows.size:
-            perm_parts.append(rows)
-            seg_rows.append((b, rows.size))
-    perm = np.concatenate(perm_parts).astype(np.int32)
-
-    w_np = np.asarray(weight, np.float32)
+    # descending-bit segment order (parity with trans_qweight's
+    # rows_8..rows_2 segmentation); counts are static
+    by_bits = sorted(zip(bits, _segment_counts(bits, props, n_blocks)), reverse=True)
     segments = []
-    off = 0
-    for b, nrows in seg_rows:
-        seg_w = w_np[perm[off : off + nrows]]
-        gs = gs_map.get(b, base_gs)
-        gs = min(gs, nrows)
-        segments.append(
-            quantize_mpq(jnp.asarray(seg_w), w_bit=b, group_size=gs, asym=False)
-        )
-        off += nrows
+    perm_parts = []
+    start = 0
+    row_offsets = jnp.arange(base_gs, dtype=jnp.int32)[None, :]
+    for b, cnt in by_bits:
+        if cnt == 0:
+            continue
+        blocks = lax.dynamic_slice_in_dim(order, start, cnt)
+        rows = (blocks[:, None].astype(jnp.int32) * base_gs + row_offsets).reshape(-1)
+        perm_parts.append(rows)
+        seg_w = w[rows]
+        gs = min(gs_map.get(b, base_gs), cnt * base_gs)
+        segments.append(quantize_mpq(seg_w, w_bit=b, group_size=gs, asym=False))
+        start += cnt
+    perm = jnp.concatenate(perm_parts)
 
     return MBWQTensor(
         segments=tuple(segments),
-        q_perm=jnp.asarray(perm),
+        q_perm=perm,
         channel_scale=channel_scale,
     )
 

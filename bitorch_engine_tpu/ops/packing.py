@@ -171,3 +171,36 @@ def pad_to_multiple(x: Array, axis: int, multiple: int, value=0) -> Tuple[Array,
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths, constant_values=value), pad
+
+# ---------------------------------------------------------------------------
+# TPU-tiled row packing: within each quant group, value j of word r is
+# logical row j*(group_size/ppw) + r — the order the Pallas kernel's
+# shift-and-concat unpack produces natively (see ops/pallas/dequant_matmul.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def pack_rows_tpu_tiled(q_int: Array, w_bit: int, group_size: int) -> Array:
+    """int codes ``(K, N)`` → int32 ``(K/32*b, N)`` in tpu_tiled order."""
+    k, n = q_int.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    g = k // group_size
+    v = q_int.reshape(g, ppw, bkp, n).astype(jnp.uint32)
+    shifts = (jnp.arange(ppw, dtype=jnp.uint32) * w_bit)[None, :, None, None]
+    words = jnp.sum(lax.shift_left(v, shifts), axis=1, dtype=jnp.uint32)
+    return words.reshape(g * bkp, n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def unpack_rows_tpu_tiled(packed: Array, w_bit: int, group_size: int) -> Array:
+    """Inverse of :func:`pack_rows_tpu_tiled` → int32 (K, N) in logical order."""
+    kw, n = packed.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    g = kw // bkp
+    mask = jnp.uint32((1 << w_bit) - 1)
+    words = packed.astype(jnp.uint32).reshape(g, 1, bkp, n)
+    shifts = (jnp.arange(ppw, dtype=jnp.uint32) * w_bit)[None, :, None, None]
+    vals = lax.shift_right_logical(jnp.broadcast_to(words, (g, ppw, bkp, n)), shifts) & mask
+    return vals.reshape(g * ppw * bkp, n).astype(jnp.int32)

@@ -3,23 +3,30 @@
 TPU-native replacement for the reference's fused dequant GEMV/GEMM CUDA
 kernels (``mpq_linear_cuda_kernel.cu:67-458`` ``quant_mm_kernel`` and the
 exl2 ``q_gemm_kernel.cuh``): packed int32 words stream HBM→VMEM, are
-unpacked to values with shifts/masks *in registers*, scaled per group, and
-fed straight to the MXU — the bf16 weight never exists in HBM, so decode
-reads ``w_bit/16`` of the bf16 bytes.  For memory-bound decode this IS the
-speedup (4-bit → ~4× tokens/s ceiling vs bf16).
+unpacked with shifts/masks *in registers*, and feed the MXU — the bf16
+weight never exists in HBM, so decode reads ``w_bit/16`` of the bf16 bytes.
+For memory-bound decode this IS the speedup (4-bit → ~4× tokens/s ceiling).
 
-Layout (see ``qtensor.MPQTensor``): ``packed`` int32 ``(K/32*b, N)``, word
-``r`` holds logical rows ``r*ppw .. r*ppw+ppw-1`` (ppw = 32/b), value ``j``
-at bit offset ``j*b``.  The kernel requires the *symmetric* form
-``w = q * scale - zero`` with fp zeros; asym (GPTQ) tensors are converted by
-:func:`prepare_for_kernel` (``w = s(q-z) == q·s - s·z``), matching the
-reference's ``prepare_params`` decompression step (``mpq_layer.py:163-204``).
+Two design moves make the unpack free on TPU (vs the naive translation,
+which drowns in sublane relayouts):
 
-Grid: ``(nm, nn, nk)`` with K innermost (sequential accumulation into a VMEM
-fp32 scratch; output written on the last K step).  Block sizes are picked by
-:func:`_pick_blocks` to respect (8,128)/MXU tiling and a VMEM budget, with
-``bk`` a multiple of ``group_size`` so scale rows broadcast with a plain
-``jnp.repeat`` over sublanes.
+1. **Group-factored scaling.**  For quant group ``g``:
+       out += scales[g,n] * (x_g @ q_g) - (Σ_k x_g[k]) * zeros[g,n]
+   Scales/zeros apply *after* the per-group dot as rank-1 row updates, so
+   no per-row broadcast of group metadata is ever materialized — the MXU
+   consumes raw integer codes cast to bf16.
+
+2. **TPU-tiled packed layout** (``MPQTensor.layout == "tpu_tiled"``):
+   within each group, value ``j`` of word ``r`` is logical row
+   ``j*(gs/ppw) + r``.  The kernel's unpack is then
+   ``concat_j((words >> j*b) & mask)`` — a scalar shift per tile and a free
+   sublane concatenation, zero shuffles.  The reference does the same trick
+   in spirit with its load-time ``shuffle_kernel`` / ``trans_qweight``
+   re-layouts (``mbwq_linear_cuda_kernel.cu:536-628``).
+
+Checkpoint-order ("gptq" layout) tensors are converted once by
+:func:`relayout_tpu` (pure XLA unpack→repack, runs at prepare time like the
+reference's ``prepare_params``).
 """
 
 from __future__ import annotations
@@ -39,86 +46,117 @@ from .. import packing
 Array = jax.Array
 
 
-def prepare_for_kernel(qt: MPQTensor) -> MPQTensor:
-    """Convert an MPQTensor to the kernel's canonical symmetric form.
+# ---------------------------------------------------------------------------
+# Layout conversion (prepare-time, pure XLA)
+# ---------------------------------------------------------------------------
 
-    asym (packed int zeros) → sym fp zeros: ``w = s(q-z) = q·s - (s·z)``.
-    g_idx with sequential groups is dropped; act-order g_idx is rejected
-    (the caller must pre-permute activations, exllamav2-style).
+
+def relayout_tpu(qt: MPQTensor) -> MPQTensor:
+    """Convert to the kernel's canonical form: sym zeros + tpu_tiled packing.
+
+    The asym→sym rewrite (``w = s(q-z) = q·s - s·z``) mirrors the reference's
+    prepare-time decompression (``mpq_layer.py:163-204``); the row re-layout
+    mirrors ``mbwq_trans_qweight``'s load-time shuffle.
     """
-    if qt.asym:
+    if qt.layout == "tpu_tiled":
+        return qt
+    if qt.group_size % (32 // qt.w_bit) != 0:
+        raise NotImplementedError("group_size must be a multiple of 32/w_bit")
+    zeros = qt.zeros
+    asym = qt.asym
+    if asym:
         z_int = packing.unpack_cols(qt.zeros, qt.w_bit).astype(jnp.float32)
-        zeros = qt.scales.astype(jnp.float32) * z_int
-        qt = qt.replace(zeros=zeros.astype(qt.scales.dtype), asym=False)
-    if qt.g_idx is not None:
-        k = qt.in_features
-        seq = jnp.arange(k, dtype=jnp.int32) // qt.group_size
-        # only sequential g_idx can be dropped silently
-        qt = qt.replace(g_idx=None)
-    return qt
+        zeros = (qt.scales.astype(jnp.float32) * z_int).astype(qt.scales.dtype)
+        asym = False
+    q_int = packing.unpack_rows(qt.packed, qt.w_bit)
+    packed = packing.pack_rows_tpu_tiled(q_int, qt.w_bit, qt.group_size)
+    return qt.replace(packed=packed, zeros=zeros, asym=asym, layout="tpu_tiled")
 
 
-def _pick_blocks(m: int, k: int, n: int, w_bit: int, group_size: int):
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _mpq_kernel(
+    x_ref,
+    packed_ref,
+    scales_ref,
+    zeros_ref,
+    out_ref,
+    acc_ref,
+    *,
+    w_bit: int,
+    group_size: int,
+    gpk: int,
+    nk: int,
+):
+    i_k = pl.program_id(2)
     ppw = 32 // w_bit
-    bm = max(8, min(128, _round_up(m, 8)))
-    # bk: multiple of lcm(group_size, ppw, 8-sublane) covering ≥256 rows
-    bk = group_size
-    while bk < 256:
-        bk *= 2
-    while k % bk != 0:
-        bk //= 2
-        if bk < group_size:
-            raise NotImplementedError(f"K={k} not tileable with gs={group_size}")
-    bn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else None)
-    if bn is None:
-        raise NotImplementedError(f"N={n} not a multiple of 128")
-    return bm, bk, bn
+    bkp = group_size // ppw
+    mask = jnp.uint32((1 << w_bit) - 1)
+
+    @pl.when(i_k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = packed_ref[:].astype(jnp.uint32)  # (gpk*bkp, bn)
+    acc = acc_ref[:]
+    for g in range(gpk):  # static unroll over groups in this K step
+        words = packed[g * bkp : (g + 1) * bkp, :]
+        # tpu_tiled: tile j holds logical rows [j*bkp, (j+1)*bkp) of group g
+        tiles = [
+            pltpu.bitcast(
+                lax.shift_right_logical(words, jnp.uint32(j * w_bit)) & mask,
+                jnp.int32,
+            )
+            for j in range(ppw)
+        ]
+        q = jnp.concatenate(tiles, axis=0).astype(x_ref.dtype)  # (gs, bn)
+        x_g = x_ref[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
+        contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
+        scale = scales_ref[0, g : g + 1, :].astype(jnp.float32)  # (1, bn)
+        zero = zeros_ref[0, g : g + 1, :].astype(jnp.float32)
+        xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)  # (bm, 1)
+        acc = acc + contrib * scale - xsum * zero
+    acc_ref[:] = acc
+
+    @pl.when(i_k == nk - 1)
+    def _store():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _dequant_block(packed_u32, scales_blk, zeros_blk, w_bit: int, group_size: int, out_dtype):
-    """(bk/ppw, bn) int32 words → (bk, bn) dequantized values (in-VMEM)."""
+def _pick_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
+    """(bm, gpk, bn): groups-per-K-step sized so the packed block has ≥ 8
+    sublane rows and ~≥ 2048 logical K rows for MXU efficiency."""
     ppw = 32 // w_bit
-    mask = jnp.uint32((1 << w_bit) - 1)
-    # row r of `words` holds packed[r // ppw]; shift (r % ppw)*b selects value.
-    # jnp.repeat is an element-repeat (broadcast + sublane-collapse reshape);
-    # NB pltpu.repeat is tile-concat and would interleave rows.
-    words = jnp.repeat(packed_u32, ppw, axis=0)
-    row_ids = lax.broadcasted_iota(jnp.int32, words.shape, 0)
-    shifts = ((row_ids % ppw) * w_bit).astype(jnp.uint32)
-    # Mosaic has no uint32→f32 cast; masked values fit in int32, so bitcast
-    # to int32 first (values < 2^31, so the reinterpretation is exact).
-    q_u32 = lax.shift_right_logical(words, shifts) & mask
-    q = pltpu.bitcast(q_u32, jnp.int32).astype(jnp.float32)
-    scales = jnp.repeat(scales_blk.astype(jnp.float32), group_size, axis=0)
-    zeros = jnp.repeat(zeros_blk.astype(jnp.float32), group_size, axis=0)
-    return (q * scales - zeros).astype(out_dtype)
-
-
-def _mpq_kernel(
-    x_ref, packed_ref, scales_ref, zeros_ref, out_ref, acc_ref, *, w_bit, group_size, nk, bg
-):
-    i_k = pl.program_id(2)
-
-    @pl.when(i_k == 0)
-    def _zero():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    packed = packed_ref[:].astype(jnp.uint32)
-    # scales/zeros are host-reshaped to (nk, bg_pad, N) so each K step indexes
-    # its own leading-dim slab — Mosaic requires statically 8-aligned sublane
-    # offsets, which a (bg, bn) block with bg < 8 can't give.
-    scales_blk = scales_ref[0, 0:bg, :]
-    zeros_blk = zeros_ref[0, 0:bg, :]
-    w = _dequant_block(packed, scales_blk, zeros_blk, w_bit, group_size, x_ref.dtype)
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-
-    @pl.when(i_k == nk - 1)
-    def _store():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+    bkp = gs // ppw
+    g_total = k // gs
+    gpk = 1
+    while gpk * bkp < 8 or (gpk * gs < 2048 and gpk * 2 <= g_total):
+        if g_total % (gpk * 2) != 0:
+            break
+        gpk *= 2
+    if (gpk * bkp) % 8 != 0:
+        raise NotImplementedError(
+            f"packed block rows {gpk * bkp} not 8-aligned (w_bit={w_bit}, gs={gs})"
+        )
+    if g_total % gpk != 0:
+        raise NotImplementedError(f"groups {g_total} not divisible by gpk {gpk}")
+    bm = max(8, min(256, _round_up(m, 8)))
+    if n % 512 == 0:
+        bn = 512
+    elif n % 256 == 0:
+        bn = 256
+    elif n % 128 == 0:
+        bn = 128
+    else:
+        raise NotImplementedError(f"N={n} not a multiple of 128")
+    return bm, gpk, bn
 
 
 @functools.partial(
@@ -137,41 +175,33 @@ def _mpq_matmul_call(
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
-    ppw = 32 // w_bit
+    gs = group_size
     out_dtype = out_dtype or x.dtype
-    bm, bk, bn = _pick_blocks(m, k, n, w_bit, group_size)
+    bm, gpk, bn = _pick_tiles(m, k, n, w_bit, gs)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    nm, nn, nk = m_pad // bm, n // bn, k // bk
-    bkp = bk // ppw
-    bg = bk // group_size
+    nm, nn, nk = m_pad // bm, n // bn, (k // gs) // gpk
+    ppw = 32 // w_bit
+    bkp = gs // ppw
 
-    # reshape group metadata to per-K-step slabs, padded to 8 sublanes
-    bg_pad = max(bg, 8)
-    scales3 = scales.reshape(nk, bg, n)
-    zeros3 = zeros.reshape(nk, bg, n)
-    if bg_pad != bg:
-        pad = ((0, 0), (0, bg_pad - bg), (0, 0))
-        scales3 = jnp.pad(scales3, pad)
-        zeros3 = jnp.pad(zeros3, pad)
+    scales3 = scales.reshape(nk, gpk, n)
+    zeros3 = zeros.reshape(nk, gpk, n)
+
     kernel = functools.partial(
-        _mpq_kernel, w_bit=w_bit, group_size=group_size, nk=nk, bg=bg
+        _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk
     )
     flops = 2 * m_pad * k * n
-    bytes_accessed = (
-        m_pad * k * x.dtype.itemsize
-        + packed.size * 4 // max(nm, 1)
-        + m_pad * n * 4
-    )
+    bytes_accessed = m_pad * k * x.dtype.itemsize * nn + packed.size * 4 + m_pad * n * 4
+
     out = pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda im, i_n, i_k: (im, i_k)),
-            pl.BlockSpec((bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
-            pl.BlockSpec((1, bg_pad, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
-            pl.BlockSpec((1, bg_pad, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
+            pl.BlockSpec((bm, gpk * gs), lambda im, i_n, i_k: (im, i_k)),
+            pl.BlockSpec((gpk * bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
+            pl.BlockSpec((1, gpk, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
+            pl.BlockSpec((1, gpk, bn), lambda im, i_n, i_k: (i_k, 0, i_n)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda im, i_n, i_k: (im, i_n)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
@@ -189,11 +219,19 @@ def _mpq_matmul_call(
     return out
 
 
+def prepare_for_kernel(qt: MPQTensor) -> MPQTensor:
+    """Kept for API compatibility: canonicalize to kernel form."""
+    if qt.g_idx is not None:
+        qt = qt.replace(g_idx=None)  # sequential-group g_idx only
+    return relayout_tpu(qt)
+
+
 def mpq_matmul_pallas(x: Array, qt: MPQTensor, interpret: bool = False) -> Array:
     """``x @ dequant(qt)`` with the fused kernel.
 
-    Raises NotImplementedError for shapes/configs the kernel doesn't cover
-    (caller falls back to the XLA dequant+matmul path).
+    Accepts either layout ("gptq" is relayouted on the fly — prefer calling
+    :func:`relayout_tpu` once at load time).  Raises NotImplementedError for
+    configurations the kernel doesn't cover (caller falls back to XLA).
     """
     if qt.q_perm is not None:
         x = x[..., qt.q_perm]  # activation permute (exl2-style), cheap gather

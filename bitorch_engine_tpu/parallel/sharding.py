@@ -46,6 +46,7 @@ def mpq_column_parallel_spec(qt: MPQTensor, axis: str = "tp") -> "MPQTensor":
         w_bit=qt.w_bit,
         group_size=qt.group_size,
         asym=qt.asym,
+        layout=qt.layout,
         grad_shadow=None if qt.grad_shadow is None else P(None, axis),
     )
 
@@ -72,6 +73,7 @@ def mpq_row_parallel_spec(qt: MPQTensor, axis: str = "tp", n_shards: int = 1) ->
         w_bit=qt.w_bit,
         group_size=qt.group_size,
         asym=qt.asym,
+        layout=qt.layout,
         grad_shadow=None if qt.grad_shadow is None else P(axis, None),
     )
 

@@ -151,6 +151,12 @@ class MPQTensor(QTensorBase):
     group_size: int = struct.field(pytree_node=False, default=128)
     asym: bool = struct.field(pytree_node=False, default=False)
     grad_shadow: Optional[Array] = None
+    # Packed-row ordering: "gptq" = value j of word r is logical row
+    # r*ppw + j (checkpoint-compatible); "tpu_tiled" = within each quant
+    # group, value j of word r is row j*(gs/ppw) + r, so the Pallas kernel's
+    # shift-and-concat unpack yields rows in order with zero relayout
+    # (see ops/pallas/dequant_matmul.py).
+    layout: str = struct.field(pytree_node=False, default="gptq")
 
     @property
     def in_features(self) -> int:

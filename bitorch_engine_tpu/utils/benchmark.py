@@ -1,0 +1,94 @@
+"""On-device micro-benchmark helpers.
+
+Per-dispatch RPC latency (especially through this sandbox's TPU tunnel, but
+also on real deployments) swamps microsecond kernels, so timing loops run
+*inside* one jitted ``lax.fori_loop``: one dispatch covers ``iters``
+executions.  The input is perturbed per iteration (cheap elementwise add on
+the small activation) so XLA cannot hoist the op out of the loop; the big
+weight operand is a loop-invariant *input* and is correctly re-read from HBM
+every iteration.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _make_loop(f: Callable):
+    @jax.jit
+    def loop(x, iters, operands):
+        def body(i, carry):
+            acc, x = carry
+            out = f(x, *operands)
+            # consume the WHOLE output (a single-element read would let XLA
+            # dead-code-eliminate the computation) and chain the next input
+            # on this output (an independent perturbation could be hoisted
+            # by algebraic simplification)
+            s = jnp.sum(out.astype(jnp.float32))
+            x = x + (s * 1e-30).astype(x.dtype)
+            return acc + s, x
+
+        acc, _ = lax.fori_loop(0, iters, body, (jnp.float32(0.0), x))
+        return acc
+
+    return loop
+
+
+def time_op(
+    f: Callable,
+    x: jax.Array,
+    *operands,
+    iters: int = 100,
+    warmup: int = 1,
+    reps: int = 3,
+) -> float:
+    """Seconds per execution of ``f(x, *operands)``, measured on-device.
+
+    Pass weights/QTensors via ``operands`` — NEVER close over device arrays
+    (a closed-over array is lowered as an MLIR *constant*, which fetches it
+    back to host; through this sandbox's TPU tunnel that takes minutes).
+
+    Uses *differential* timing — per-iteration cost is the slope between a
+    short and a long on-device loop — so fixed dispatch latency (large and
+    jittery through the tunnel, nonzero everywhere) cancels.
+    """
+    loop = _make_loop(f)
+    lo, hi = max(iters // 5, 2), iters
+    for _ in range(max(warmup, 1)):
+        loop(x, lo, operands).block_until_ready()
+        loop(x, hi, operands).block_until_ready()
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        loop(x, lo, operands).block_until_ready()
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loop(x, hi, operands).block_until_ready()
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (hi - lo))
+    return max(best, 1e-9)
+
+
+def time_fn_pytree(f: Callable, args, iters: int = 20, warmup: int = 1) -> float:
+    """Seconds per execution for functions over pytrees (e.g. a full decode
+    step with KV caches); the whole loop still runs in one dispatch by
+    chaining the carry through the iterations."""
+
+    @jax.jit
+    def loop(args):
+        def body(i, args):
+            return f(*args)
+
+        return lax.fori_loop(0, iters, body, args)
+
+    for _ in range(max(warmup, 1)):
+        jax.block_until_ready(loop(args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(args))
+    return (time.perf_counter() - t0) / iters
