@@ -54,15 +54,7 @@ BATCH = 8  # decode batch per chip
 HBM_BW = 819e9  # v5e
 
 
-def time_fn(f, *args, iters=50):
-    f(*args)[0].block_until_ready() if isinstance(f(*args), tuple) else jax.block_until_ready(
-        f(*args)
-    )
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from bitorch_engine_tpu.utils.benchmark import time_op  # noqa: E402
 
 
 def main():
@@ -78,17 +70,19 @@ def main():
         qt = quant.quantize_mpq(w, w_bit=W_BIT, group_size=GROUP)
         x = jax.random.normal(jax.random.PRNGKey(100 + i), (BATCH, k), jnp.bfloat16)
         if on_tpu:
-            f_q = jax.jit(lambda x, qt=qt: mpq_matmul_pallas(x, qt))
+            from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+            qt = relayout_tpu(qt)
+            f_q = lambda x, qt: mpq_matmul_pallas(x, qt)
         else:
-            f_q = jax.jit(lambda x, qt=qt: x @ quant.dequantize_mpq(qt, jnp.bfloat16))
+            f_q = lambda x, qt: x @ quant.dequantize_mpq(qt, jnp.bfloat16)
         wb = quant.dequantize_mpq(qt, jnp.bfloat16)
-        f_b = jax.jit(
-            lambda x, wb=wb: jnp.dot(x, wb, preferred_element_type=jnp.float32).astype(
-                jnp.bfloat16
-            )
-        )
-        tq = time_fn(f_q, x)
-        tb = time_fn(f_b, x)
+        f_b = lambda x, wb: jnp.dot(
+            x, wb, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        iters = 1500 if on_tpu else 20
+        tq = time_op(f_q, x, qt, iters=iters, reps=5)
+        tb = time_op(f_b, x, wb, iters=iters, reps=5)
         total_q += tq
         total_bf16 += tb
         weight_bytes += k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4

@@ -1,0 +1,256 @@
+"""Generation & serving: sampling loop and continuous-batching decode driver.
+
+Greenfield per BASELINE.json's north star ("continuous batching across
+hosts") — the reference has no serving loop at all (SURVEY.md §0).  This is
+the single-host core; multi-host request routing rides on top of the same
+slot engine with dp-sharded slots.
+
+Design (TPU-first):
+* one jitted ``_decode_step`` reused for every token — static shapes, the
+  KV cache is a fixed ``(slots, max_len, ...)`` ring per layer;
+* **slot-based continuous batching**: a fixed number of batch slots, each
+  with its own ``cache_len``; finished sequences free their slot and a
+  pending prompt is prefilled into it while other slots keep decoding —
+  the decode step is never blocked by stragglers;
+* per-slot position/active masks are device arrays, so admission control is
+  the only host-side work per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .llama import LlamaConfig, LlamaModel, init_kv_caches
+
+Array = jax.Array
+
+
+def sample_token(logits: Array, key, temperature: float = 0.0, top_k: int = 0) -> Array:
+    """Greedy (temperature 0) or top-k temperature sampling; logits (b, V)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def generate(
+    model: LlamaModel,
+    params,
+    prompt: Array,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    eos_id: Optional[int] = None,
+    seed: int = 0,
+    max_len: Optional[int] = None,
+) -> Array:
+    """Simple batched generation: prefill the prompt then decode greedily.
+
+    ``prompt``: int32 ``(batch, prompt_len)``; returns ``(batch,
+    prompt_len + max_new_tokens)`` (sequences past EOS repeat EOS).
+    """
+    cfg = model.cfg
+    b, plen = prompt.shape
+    max_len = max_len or min(cfg.max_seq_len, plen + max_new_tokens)
+    caches = init_kv_caches(cfg, b, max_len)
+
+    @jax.jit
+    def prefill_step(params, tokens, caches):
+        logits, caches = model.apply(
+            params, tokens, kv_caches=caches, cache_len=jnp.zeros((), jnp.int32)
+        )
+        return logits[:, -1], caches
+
+    @jax.jit
+    def decode_one(params, tok, caches, pos, key):
+        positions = jnp.broadcast_to(pos, (tok.shape[0], 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches, cache_len=pos
+        )
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits[:, -1], sub, temperature)
+        return nxt, caches, key
+
+    logits, caches = prefill_step(params, prompt, caches)
+    key = jax.random.PRNGKey(seed)
+    nxt = sample_token(logits, key, temperature)
+    out = [prompt, nxt[:, None]]
+    finished = jnp.zeros((b,), jnp.bool_) if eos_id is not None else None
+    for i in range(max_new_tokens - 1):
+        pos = jnp.asarray(plen + i, jnp.int32)
+        nxt, caches, key = decode_one(params, nxt[:, None], caches, pos, key)
+        if eos_id is not None:
+            finished = jnp.logical_or(finished, nxt == eos_id)
+            nxt = jnp.where(finished, eos_id, nxt)
+        out.append(nxt[:, None])
+    return jnp.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray  # (plen,) int32
+    max_new_tokens: int = 64
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching engine (single host).
+
+    ``slots`` decode in lock-step with one jitted step; each slot has its
+    own position.  ``submit`` enqueues requests; ``run`` drains the queue,
+    prefilling free slots between decode steps.
+    """
+
+    def __init__(
+        self,
+        model: LlamaModel,
+        params,
+        num_slots: int = 4,
+        max_len: int = 512,
+        eos_id: int = -1,
+        temperature: float = 0.0,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = model.cfg
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.eos_id = eos_id
+        self.temperature = temperature
+        self.caches = init_kv_caches(self.cfg, num_slots, max_len)
+        self.positions = np.zeros(num_slots, np.int32)  # next cache position
+        self.active: List[Optional[Request]] = [None] * num_slots
+        self.cur_tok = np.zeros((num_slots, 1), np.int32)
+        self.queue: List[Request] = []
+        self._uid = 0
+
+        cfg = self.cfg
+        model_ = self.model
+
+        @jax.jit
+        def _decode(params, toks, caches, positions, active_mask, key):
+            # toks (slots, 1); positions (slots,) — per-slot cache positions
+            logits, caches = model_.apply(
+                params,
+                toks,
+                positions=positions[:, None],
+                kv_caches=caches,
+                cache_len=positions,
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits[:, -1], sub, temperature)
+            nxt = jnp.where(active_mask, nxt, 0)
+            return nxt, caches, key
+
+        self._decode = _decode
+        self._key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def _prefill_slot(params, caches, tokens, slot):
+            """Prefill one slot's cache with a (1, plen) prompt."""
+            logits, slot_caches = model_.apply(
+                params,
+                tokens,
+                kv_caches=[
+                    (
+                        jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0),
+                        jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0),
+                    )
+                    for (k, v) in caches
+                ],
+                cache_len=jnp.zeros((), jnp.int32),
+            )
+            new_caches = [
+                (
+                    jax.lax.dynamic_update_slice_in_dim(k, sk, slot, axis=0),
+                    jax.lax.dynamic_update_slice_in_dim(v, sv, slot, axis=0),
+                )
+                for (k, v), (sk, sv) in zip(caches, slot_caches)
+            ]
+            return logits[:, -1], new_caches
+
+        self._prefill_slot = _prefill_slot
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
+        self._uid += 1
+        self.queue.append(
+            Request(self._uid, np.asarray(prompt, np.int32), max_new_tokens)
+        )
+        return self._uid
+
+    def _admit(self):
+        for s in range(self.num_slots):
+            if self.active[s] is None and self.queue:
+                req = self.queue.pop(0)
+                tokens = jnp.asarray(req.prompt[None, :])
+                logits, self.caches = self._prefill_slot(
+                    self.params, self.caches, tokens, s
+                )
+                nxt = int(jnp.argmax(logits, -1)[0])
+                req.generated.append(nxt)
+                self.active[s] = req
+                self.positions[s] = len(req.prompt)
+                self.cur_tok[s, 0] = nxt
+
+    def step(self):
+        """One decode step across all active slots."""
+        active_mask = jnp.asarray(
+            [r is not None for r in self.active], jnp.bool_
+        )
+        nxt, self.caches, self._key = self._decode(
+            self.params,
+            jnp.asarray(self.cur_tok),
+            self.caches,
+            jnp.asarray(self.positions),
+            active_mask,
+            self._key,
+        )
+        nxt_np = np.asarray(nxt)
+        for s, req in enumerate(self.active):
+            if req is None:
+                continue
+            tok = int(nxt_np[s])
+            req.generated.append(tok)
+            self.positions[s] += 1
+            self.cur_tok[s, 0] = tok
+            if (
+                tok == self.eos_id
+                or len(req.generated) >= req.max_new_tokens
+                or self.positions[s] >= self.max_len - 1
+            ):
+                req.done = True
+                self.active[s] = None
+                self.positions[s] = 0
+
+    def run(self) -> List[Request]:
+        """Drain the queue; returns all completed requests (in submit order)."""
+        completed: List[Request] = []
+
+        def collect():
+            # requests detach from slots when done; track them here
+            for req in list(self._all):
+                if req.done and req not in completed:
+                    completed.append(req)
+
+        self._all = list(self.queue)
+        while self.queue or any(r is not None for r in self.active):
+            self._admit()
+            self.step()
+            collect()
+        collect()
+        completed.sort(key=lambda r: r.uid)
+        return completed

@@ -173,8 +173,23 @@ class LlamaAttention(nn.Module):
 
         if kv_cache is not None:
             ck, cv = kv_cache  # (b, max_len, nkv, hd)
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_len, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_len, axis=1)
+            if jnp.ndim(cache_len) == 0:
+                ck = jax.lax.dynamic_update_slice_in_dim(
+                    ck, k.astype(ck.dtype), cache_len, axis=1
+                )
+                cv = jax.lax.dynamic_update_slice_in_dim(
+                    cv, v.astype(cv.dtype), cache_len, axis=1
+                )
+            else:
+                # per-slot positions (continuous batching): each batch row
+                # writes its new KV at its own cache position
+                upd = jax.vmap(
+                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
+                        c, u, p, axis=0
+                    )
+                )
+                ck = upd(ck, k.astype(ck.dtype), cache_len)
+                cv = upd(cv, v.astype(cv.dtype), cache_len)
             k_all, v_all = ck, cv
             kv_len = ck.shape[1]
             new_cache = (ck, cv)
@@ -197,7 +212,12 @@ class LlamaAttention(nn.Module):
         q_pos = positions[:, None, :, None]
         mask = kv_pos <= q_pos
         if kv_cache is not None:
-            mask = jnp.logical_and(mask, kv_pos < cache_len + s)
+            if jnp.ndim(cache_len) == 0:
+                valid = cache_len + s
+                mask = jnp.logical_and(mask, kv_pos < valid)
+            else:
+                valid = (cache_len + s)[:, None, None, None]
+                mask = jnp.logical_and(mask, kv_pos < valid)
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
 

@@ -58,21 +58,24 @@ def time_op(
     jittery through the tunnel, nonzero everywhere) cancels.
     """
     loop = _make_loop(f)
-    lo, hi = max(iters // 5, 2), iters
+    lo, hi = max(iters // 10, 2), iters
     for _ in range(max(warmup, 1)):
         loop(x, lo, operands).block_until_ready()
         loop(x, hi, operands).block_until_ready()
 
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        loop(x, lo, operands).block_until_ready()
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        loop(x, hi, operands).block_until_ready()
-        t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (hi - lo))
-    return max(best, 1e-9)
+    # min-per-length first (dispatch-latency spikes are one-sided), then the
+    # slope between the two floors
+    def best_of(n_iters):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loop(x, n_iters, operands).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = best_of(lo)
+    t_hi = best_of(hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
 
 def time_fn_pytree(f: Callable, args, iters: int = 20, warmup: int = 1) -> float:

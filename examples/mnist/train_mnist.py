@@ -1,0 +1,140 @@
+"""Train a low-bit MLP on MNIST with DiodeMix (BASELINE.json configs[0]).
+
+TPU-native re-creation of the reference example
+(``examples/mnist/train_mnist.py:22-56,85-198``): a 2-layer MLP whose hidden
+layer is a 1/4/8-bit quantized linear, trained end-to-end with gradients
+flowing to the quantized weights and DiodeMix updating them directly.
+
+Dataset: loads MNIST from an IDX/npz file if present (``--data-dir``,
+zero-egress sandbox has no downloader); otherwise falls back to a synthetic
+10-class "digits-like" task so the example always runs.
+
+Usage:
+    python examples/mnist/train_mnist.py --bits 1 --epochs 3 [--cpu]
+"""
+
+import argparse
+import gzip
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def load_mnist(data_dir):
+    """Load MNIST from idx-gz or npz files if available, else None."""
+    npz = os.path.join(data_dir, "mnist.npz")
+    if os.path.exists(npz):
+        d = np.load(npz)
+        return (d["x_train"], d["y_train"]), (d["x_test"], d["y_test"])
+
+    def read_idx(path):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            magic, = struct.unpack(">I", f.read(4))
+            ndim = magic & 0xFF
+            dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+            return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+    for suffix in ("", ".gz"):
+        try:
+            xtr = read_idx(os.path.join(data_dir, f"train-images-idx3-ubyte{suffix}"))
+            ytr = read_idx(os.path.join(data_dir, f"train-labels-idx1-ubyte{suffix}"))
+            xte = read_idx(os.path.join(data_dir, f"t10k-images-idx3-ubyte{suffix}"))
+            yte = read_idx(os.path.join(data_dir, f"t10k-labels-idx1-ubyte{suffix}"))
+            return (xtr, ytr), (xte, yte)
+        except FileNotFoundError:
+            continue
+    return None
+
+
+def synthetic_digits(n_train=8000, n_test=2000, seed=0):
+    """Synthetic 10-class 28x28 task (prototype digits + noise + shifts)."""
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((10, 28 * 28)).astype(np.float32)
+
+    def make(n):
+        y = rng.integers(0, 10, n)
+        x = protos[y] + rng.standard_normal((n, 28 * 28)).astype(np.float32) * 0.8
+        return x.reshape(n, 28, 28), y
+
+    return make(n_train), make(n_test)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bits", type=int, default=1, choices=[1, 4, 8])
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--data-dir", default=os.environ.get("MNIST_DIR", "/root/data/mnist"))
+    p.add_argument("--cpu", action="store_true", help="force local CPU backend")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bitorch_engine_tpu.models import QuantMLP
+    from bitorch_engine_tpu.optim import DiodeHyperParams
+    from bitorch_engine_tpu.training import (
+        accuracy,
+        create_train_state,
+        cross_entropy_loss,
+        make_train_step,
+    )
+    from bitorch_engine_tpu.utils import prepare_for_training
+
+    data = load_mnist(args.data_dir)
+    if data is None:
+        print("# MNIST files not found; using the synthetic fallback task")
+        (xtr, ytr), (xte, yte) = synthetic_digits()
+    else:
+        (xtr, ytr), (xte, yte) = data
+    xtr = (xtr.reshape(len(xtr), -1).astype(np.float32) / 255.0 - 0.1307) / 0.3081 \
+        if data is not None else xtr.reshape(len(xtr), -1)
+    xte = (xte.reshape(len(xte), -1).astype(np.float32) / 255.0 - 0.1307) / 0.3081 \
+        if data is not None else xte.reshape(len(xte), -1)
+
+    model = QuantMLP(hidden=args.hidden, bits=args.bits)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xtr[: args.batch_size]))
+    params = prepare_for_training(params)
+    hp = DiodeHyperParams(lr=args.lr)
+
+    def loss_fn(params, batch):
+        logits = model.apply(params, batch[0])
+        return cross_entropy_loss(logits, batch[1]), accuracy(logits, batch[1])
+
+    step = make_train_step(loss_fn, hp)
+    state = create_train_state(params, hp)
+
+    n = len(xtr)
+    steps_per_epoch = n // args.batch_size
+    rng = np.random.default_rng(1)
+    for epoch in range(args.epochs):
+        perm = rng.permutation(n)
+        t0 = time.time()
+        for i in range(steps_per_epoch):
+            idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
+            state, metrics = step(state, (jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx])))
+        # eval
+        test_logits = model.apply(state.params, jnp.asarray(xte))
+        test_acc = float(accuracy(test_logits, jnp.asarray(yte)))
+        print(
+            f"epoch {epoch}: loss {float(metrics['loss']):.4f} "
+            f"train_acc {float(metrics['aux']):.4f} test_acc {test_acc:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+    print(f"final test accuracy ({args.bits}-bit hidden layer): {test_acc:.4f}")
+
+
+if __name__ == "__main__":
+    main()
