@@ -50,6 +50,10 @@ class LlamaConfig:
     # GreenBit channel-mixed-bit mode: a strategy tuple like
     # ((2, 0.75), (4, 0.25)) → MBWQLinear projections (configs[3] path)
     mbwq_strategy: Any = struct.field(pytree_node=False, default=None)
+    # Pallas flash attention for prefill (TPU only; decode keeps the
+    # KV-cache einsum path). Greenfield vs the reference's O(L²) BMHA
+    # softmax (SURVEY.md §5 long-context row).
+    use_flash_attention: bool = struct.field(pytree_node=False, default=True)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -202,6 +206,30 @@ class LlamaAttention(nn.Module):
         rep = nh // nkv
         k_all = jnp.repeat(k_all, rep, axis=2)
         v_all = jnp.repeat(v_all, rep, axis=2)
+
+        use_flash = (
+            cfg.use_flash_attention
+            and kv_cache is None
+            and s > 1
+            and jax.default_backend() == "tpu"
+            and s % 128 == 0
+            and hd >= 128
+        )
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3).astype(jnp.float32),
+                k_all.transpose(0, 2, 1, 3).astype(jnp.float32),
+                v_all.transpose(0, 2, 1, 3).astype(jnp.float32),
+                causal=True,
+                sm_scale=1.0 / math.sqrt(hd),
+            ).transpose(0, 2, 1, 3).astype(cfg.dtype)
+            ctx = ctx.reshape(b, s, nh * hd)
+            out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+            return out, new_cache
 
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_all, preferred_element_type=jnp.float32

@@ -101,7 +101,9 @@ def _mpq_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     packed = packed_ref[:].astype(jnp.uint32)  # (gpk*bkp, bn)
+    x_blk = x_ref[:]
     acc = acc_ref[:]
+    xsums = []
     for g in range(gpk):  # static unroll over groups in this K step
         words = packed[g * bkp : (g + 1) * bkp, :]
         # tpu_tiled: tile j holds logical rows [j*bkp, (j+1)*bkp) of group g
@@ -113,12 +115,17 @@ def _mpq_kernel(
             for j in range(ppw)
         ]
         q = jnp.concatenate(tiles, axis=0).astype(x_ref.dtype)  # (gs, bn)
-        x_g = x_ref[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
+        x_g = x_blk[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
         contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
         scale = scales_ref[0, g : g + 1, :].astype(jnp.float32)  # (1, bn)
-        zero = zeros_ref[0, g : g + 1, :].astype(jnp.float32)
-        xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)  # (bm, 1)
-        acc = acc + contrib * scale - xsum * zero
+        acc = acc + contrib * scale
+        xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
+    # zeros term, batched into ONE MXU op across the K step's groups:
+    #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
+    xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
+    acc = acc - jnp.dot(
+        xsums_mat, zeros_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32
+    )
     acc_ref[:] = acc
 
     @pl.when(i_k == nk - 1)
@@ -130,14 +137,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
+def _pick_tiles(
+    m: int, k: int, n: int, w_bit: int, gs: int,
+    k_step_rows: Optional[int] = None, block_n: Optional[int] = None,
+):
     """(bm, gpk, bn): groups-per-K-step sized so the packed block has ≥ 8
-    sublane rows and ~≥ 2048 logical K rows for MXU efficiency."""
+    sublane rows and ~≥ `k_step_rows` logical K rows for MXU efficiency."""
     ppw = 32 // w_bit
     bkp = gs // ppw
     g_total = k // gs
+    target = k_step_rows or 2048
     gpk = 1
-    while gpk * bkp < 8 or (gpk * gs < 2048 and gpk * 2 <= g_total):
+    while gpk * bkp < 8 or (gpk * gs < target and gpk * 2 <= g_total):
         if g_total % (gpk * 2) != 0:
             break
         gpk *= 2
@@ -148,7 +159,9 @@ def _pick_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
     if g_total % gpk != 0:
         raise NotImplementedError(f"groups {g_total} not divisible by gpk {gpk}")
     bm = max(8, min(256, _round_up(m, 8)))
-    if n % 512 == 0:
+    if block_n is not None and n % block_n == 0:
+        bn = block_n
+    elif n % 512 == 0:
         bn = 512
     elif n % 256 == 0:
         bn = 256
@@ -160,7 +173,10 @@ def _pick_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w_bit", "group_size", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=(
+        "w_bit", "group_size", "interpret", "out_dtype", "k_step_rows", "block_n"
+    ),
 )
 def _mpq_matmul_call(
     x: Array,
@@ -172,12 +188,14 @@ def _mpq_matmul_call(
     group_size: int,
     interpret: bool = False,
     out_dtype=None,
+    k_step_rows: Optional[int] = None,
+    block_n: Optional[int] = None,
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
     gs = group_size
     out_dtype = out_dtype or x.dtype
-    bm, gpk, bn = _pick_tiles(m, k, n, w_bit, gs)
+    bm, gpk, bn = _pick_tiles(m, k, n, w_bit, gs, k_step_rows, block_n)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -226,7 +244,13 @@ def prepare_for_kernel(qt: MPQTensor) -> MPQTensor:
     return relayout_tpu(qt)
 
 
-def mpq_matmul_pallas(x: Array, qt: MPQTensor, interpret: bool = False) -> Array:
+def mpq_matmul_pallas(
+    x: Array,
+    qt: MPQTensor,
+    interpret: bool = False,
+    k_step_rows: Optional[int] = None,
+    block_n: Optional[int] = None,
+) -> Array:
     """``x @ dequant(qt)`` with the fused kernel.
 
     Accepts either layout ("gptq" is relayouted on the fly — prefer calling
@@ -249,4 +273,6 @@ def mpq_matmul_pallas(x: Array, qt: MPQTensor, interpret: bool = False) -> Array
         w_bit=qt.w_bit,
         group_size=qt.group_size,
         interpret=interpret,
+        k_step_rows=k_step_rows,
+        block_n=block_n,
     )

@@ -60,16 +60,18 @@ def time_op(
     loop = _make_loop(f)
     lo, hi = max(iters // 10, 2), iters
     for _ in range(max(warmup, 1)):
-        loop(x, lo, operands).block_until_ready()
-        loop(x, hi, operands).block_until_ready()
+        float(loop(x, lo, operands))
+        float(loop(x, hi, operands))
 
-    # min-per-length first (dispatch-latency spikes are one-sided), then the
-    # slope between the two floors
+    # NB: completion is forced by FETCHING the scalar result — under this
+    # sandbox's tunneled PJRT client, block_until_ready returns before the
+    # device work is done.  Min-per-length first (dispatch-latency spikes
+    # are one-sided), then the slope between the two floors.
     def best_of(n_iters):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            loop(x, n_iters, operands).block_until_ready()
+            float(loop(x, n_iters, operands))
             best = min(best, time.perf_counter() - t0)
         return best
 
