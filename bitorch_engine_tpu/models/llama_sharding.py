@@ -1,0 +1,49 @@
+"""Llama-specific sharding recipe (Megatron-style TP + dp/fsdp).
+
+Greenfield (reference is single-device).  Follows the scaling-book layout
+the SNIPPETS.md sharding_map also uses:
+
+* q/k/v/gate/up projections: **column-parallel** — output features over 'tp'
+  (heads split across chips, no collective needed after the matmul);
+* o/down projections: **row-parallel** — input features over 'tp' (the
+  matmul contracts the sharded axis; XLA inserts one psum per block);
+* embeddings/norms: replicated (or 'fsdp'-sharded rows for memory);
+* KV caches: batch over 'dp', heads over 'tp'.
+
+For MPQ tensors the row-parallel K sharding lands on whole quant groups
+(checked by ``mpq_row_parallel_spec``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.sharding import make_sharding_rules, partition_specs
+
+LLAMA_RULES = {
+    r"(q|k|v)_proj": "column",
+    r"(gate|up)_proj": "column",
+    r"(o|down)_proj": "row",
+    r"embed": "replicated",
+}
+
+
+def llama_partition_specs(params, axis: str = "tp"):
+    """PartitionSpec pytree for a Llama params tree (quantized or fp)."""
+    rules = make_sharding_rules(LLAMA_RULES, default_axis=axis)
+    return partition_specs(params, rules, axis)
+
+
+def shard_llama_params(params, mesh: Mesh, axis: str = "tp"):
+    specs = llama_partition_specs(params, axis)
+    shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+    return jax.device_put(params, shardings)
+
+
+def kv_cache_shardings(mesh: Mesh, num_layers: int):
+    """(b, L, kv_heads, d) caches: batch over dp, heads over tp."""
+    spec = NamedSharding(mesh, P("dp", None, "tp", None))
+    return [(spec, spec) for _ in range(num_layers)]

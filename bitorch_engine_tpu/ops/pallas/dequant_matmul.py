@@ -159,16 +159,17 @@ def _pick_tiles(
     if g_total % gpk != 0:
         raise NotImplementedError(f"groups {g_total} not divisible by gpk {gpk}")
     bm = max(8, min(256, _round_up(m, 8)))
+    # default bn: largest of 1024/512/256/128 dividing N (v5e autotune sweep:
+    # 4096x4096 w4g128 m8 → ks=2048/bn=1024 = 509 GB/s, 2.9x vs bf16)
     if block_n is not None and n % block_n == 0:
         bn = block_n
-    elif n % 512 == 0:
-        bn = 512
-    elif n % 256 == 0:
-        bn = 256
-    elif n % 128 == 0:
-        bn = 128
     else:
-        raise NotImplementedError(f"N={n} not a multiple of 128")
+        for cand in (1024, 512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+        else:
+            raise NotImplementedError(f"N={n} not a multiple of 128")
     return bm, gpk, bn
 
 

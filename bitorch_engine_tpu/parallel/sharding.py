@@ -158,6 +158,44 @@ def shard_params(params, mesh: Mesh, rule_fn: Optional[Callable] = None, axis: s
     return jax.device_put(params, shardings)
 
 
+def optimizer_partition_specs(
+    opt_state, params, tp_axis: str = "tp", fsdp_axis: Optional[str] = "fsdp"
+):
+    """PartitionSpecs for a DiodeState matching a sharded params tree.
+
+    Optimizer moments have the *logical* (K, N) weight shape; they co-shard
+    with the weight's output axis over ``tp_axis`` and (ZeRO/FSDP-style,
+    greenfield vs the reference which keeps fp32 state replicated on one
+    GPU) over ``fsdp_axis`` on the K axis when a mesh axis is available.
+    """
+    from ..optim.diode import DiodeState
+
+    def leaf_state_spec(st, p):
+        spec2d = P(fsdp_axis, tp_axis) if fsdp_axis else P(None, tp_axis)
+
+        def moment_spec(arr):
+            if hasattr(arr, "ndim") and arr.ndim == 2:
+                return spec2d
+            return P()
+
+        if isinstance(st, dict):
+            return {
+                kk: jax.tree_util.tree_map(moment_spec, vv)
+                for kk, vv in st.items()
+            }
+        return jax.tree_util.tree_map(moment_spec, st)
+
+    p_leaves, treedef = jax.tree_util.tree_flatten(
+        params, is_leaf=lambda x: isinstance(x, QTensorBase)
+    )
+    s_leaves = treedef.flatten_up_to(opt_state.leaf_states)
+    new_states = [leaf_state_spec(s, p) for s, p in zip(s_leaves, p_leaves)]
+    return DiodeState(
+        step=P(),
+        leaf_states=jax.tree_util.tree_unflatten(treedef, new_states),
+    )
+
+
 def partition_specs(params, rule_fn: Optional[Callable] = None, axis: str = "tp"):
     """Compute a PartitionSpec pytree matching ``params`` structure."""
 

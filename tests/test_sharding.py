@@ -97,3 +97,37 @@ def test_sharded_train_step_runs(mesh):
     np.testing.assert_array_equal(
         np.asarray(ref_params["q"].packed), np.asarray(out_params["q"].packed)
     )
+
+
+def test_optimizer_state_sharding(mesh):
+    """FSDP-style optimizer-moment sharding: sharded step == unsharded step."""
+    from jax.sharding import NamedSharding
+    from bitorch_engine_tpu.optim import DiodeHyperParams, diode_init, diode_update
+    from bitorch_engine_tpu.parallel.sharding import optimizer_partition_specs
+    from bitorch_engine_tpu.qtensor import with_grad_shadow
+
+    qt = with_grad_shadow(_mk_qt(k=128, n=256, gs=32))
+    params = {"q": qt}
+    hp = DiodeHyperParams(lr=1e-3)
+    state = diode_init(params, hp=hp)
+
+    specs = optimizer_partition_specs(state, params, fsdp_axis=None)
+    shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+    state_sharded = jax.device_put(state, shardings)
+
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((8, 128)).astype(np.float32))
+    y = jnp.asarray(np.random.default_rng(8).standard_normal((8, 256)).astype(np.float32))
+
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean((mpq_linear(x, p["q"]) - y) ** 2)
+
+        grads = jax.grad(loss_fn, allow_int=True)(params)
+        return diode_update(grads, opt_state, params, hp)
+
+    ref_p, _ = jax.jit(step)(params, state)
+    with mesh:
+        out_p, out_s = jax.jit(step)(shard_params(params, mesh), state_sharded)
+    np.testing.assert_array_equal(
+        np.asarray(ref_p["q"].packed), np.asarray(out_p["q"].packed)
+    )
