@@ -1,18 +1,18 @@
-"""Benchmark: 4-bit Llama-3-8B decode throughput per chip (projected from the
-per-projection fused dequant-matmul kernels).
+"""Benchmark: Llama-3-8B 4-bit decode throughput per chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` is the speedup vs the bf16-weight decode path (the
-"reference equivalent" on this hardware: dequantized 16-bit weights +
-MXU matmul — what you'd get without the low-bit engine).  The reference
-repo publishes no absolute numbers (BASELINE.md), so the baseline is the
-measured bf16 path on the same chip.
+Headline: true end-to-end decode tokens/s/chip of the full quantized model
+(random-initialized weights — the compute/memory path is identical to a real
+checkpoint).  ``vs_baseline`` is the speedup vs a bf16-weight decode step,
+estimated by swapping the measured per-projection fused-kernel times for
+measured bf16-matmul times (a full bf16 Llama-3-8B does not fit in one v5e
+HBM — which is itself the point of the engine).  The reference publishes no
+absolute numbers (BASELINE.md), so the bf16 path on the same chip is the
+baseline.
 
-Method: time the seven projection GEMMs of a Llama-3-8B block at decode
-batch size, multiply by 32 layers + lm_head, derive tokens/s/chip; also
-report % of the HBM-bandwidth roofline (v5e: ~819 GB/s).
+Env: BENCH_E2E=0 to skip the full-model run (projection-level only).
 """
 
 import json
@@ -22,27 +22,24 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent compile cache — TPU compiles through this sandbox's tunnel cost
-# 10-150s each; cached reruns are instant
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tpu_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from bitorch_engine_tpu.ops import quant  # noqa: E402
-from bitorch_engine_tpu.ops.pallas.dequant_matmul import mpq_matmul_pallas  # noqa: E402
+from bitorch_engine_tpu.utils.benchmark import time_op  # noqa: E402
 
-# Llama-3-8B per-block projections (K, N) and lm_head
 HIDDEN, INTER, KV = 4096, 14336, 1024
 VOCAB = 128256
 LAYERS = 32
 PROJS = [
-    ("qkv_q", HIDDEN, HIDDEN),
-    ("qkv_k", HIDDEN, KV),
-    ("qkv_v", HIDDEN, KV),
+    ("q", HIDDEN, HIDDEN),
+    ("k", HIDDEN, KV),
+    ("v", HIDDEN, KV),
     ("o", HIDDEN, HIDDEN),
     ("gate", HIDDEN, INTER),
     ("up", HIDDEN, INTER),
@@ -50,77 +47,141 @@ PROJS = [
 ]
 W_BIT = 4
 GROUP = 128
-BATCH = 8  # decode batch per chip
+BATCH = 8
+CACHE_LEN = 1024
 HBM_BW = 819e9  # v5e
 
 
-from bitorch_engine_tpu.utils.benchmark import time_op  # noqa: E402
-
-
-def main():
-    on_tpu = jax.default_backend() in ("tpu",)
+def projection_sweep(on_tpu):
+    """Per-projection fused vs bf16 times; returns (fused_sum, bf16_sum) secs."""
     total_q = 0.0
-    total_bf16 = 0.0
-    weight_bytes = 0
-
+    total_b = 0.0
     for i, (name, k, n) in enumerate(PROJS):
-        # generate on-device: host→device transfers through the sandbox
-        # tunnel are slow and would dominate the bench wall clock
         w = jax.random.normal(jax.random.PRNGKey(i), (k, n), jnp.float32) * 0.02
         qt = quant.quantize_mpq(w, w_bit=W_BIT, group_size=GROUP)
         x = jax.random.normal(jax.random.PRNGKey(100 + i), (BATCH, k), jnp.bfloat16)
         if on_tpu:
-            from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+            from bitorch_engine_tpu.ops.pallas.dequant_matmul import (
+                mpq_matmul_pallas,
+                relayout_tpu,
+            )
 
             qt = relayout_tpu(qt)
             f_q = lambda x, qt: mpq_matmul_pallas(x, qt)
         else:
             f_q = lambda x, qt: x @ quant.dequantize_mpq(qt, jnp.bfloat16)
         wb = quant.dequantize_mpq(qt, jnp.bfloat16)
-        f_b = lambda x, wb: jnp.dot(
-            x, wb, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
-        iters = 1500 if on_tpu else 20
-        tq = time_op(f_q, x, qt, iters=iters, reps=5)
-        tb = time_op(f_b, x, wb, iters=iters, reps=5)
+        f_b = lambda x, wb: jnp.dot(x, wb, preferred_element_type=jnp.float32).astype(
+            jnp.bfloat16
+        )
+        iters = 2000 if on_tpu else 20
+        tq = time_op(f_q, x, qt, iters=iters, reps=3)
+        tb = time_op(f_b, x, wb, iters=iters, reps=3)
         total_q += tq
-        total_bf16 += tb
-        weight_bytes += k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4
+        total_b += tb
         print(
-            f"# {name} ({k}x{n}): fused {tq*1e6:.0f}us  bf16 {tb*1e6:.0f}us  "
-            f"speedup {tb/tq:.2f}x",
+            f"# {name} ({k}x{n}): fused {tq*1e6:.1f}us ({k*n*W_BIT/8/tq/1e9:.0f} GB/s)"
+            f"  bf16 {tb*1e6:.1f}us  speedup {tb/tq:.2f}x",
             file=sys.stderr,
         )
+    return total_q, total_b
 
-    # lm_head at bf16 (not weight-quantized in the reference flow)
-    lm_bytes = VOCAB * HIDDEN * 2
-    lm_time = lm_bytes / HBM_BW  # ideal; it's a plain bf16 matmul
-    step_q = total_q * LAYERS + lm_time
-    step_b = total_bf16 * LAYERS + lm_time
-    toks_q = BATCH / step_q
-    toks_b = BATCH / step_b
 
-    per_step_bytes = weight_bytes * LAYERS + lm_bytes
-    roofline_step = per_step_bytes / HBM_BW
-    roofline_toks = BATCH / roofline_step
+def e2e_decode():
+    """Full Llama-3-8B 4-bit decode step; returns seconds/step."""
+    from bitorch_engine_tpu.models.llama import LlamaModel, llama3_8b, init_kv_caches
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+    from bitorch_engine_tpu.qtensor import MPQTensor, QTensorBase
+
+    cfg = llama3_8b(
+        dtype=jnp.bfloat16, w_bit=W_BIT, group_size=GROUP, max_seq_len=CACHE_LEN
+    )
+    model = LlamaModel(cfg)
+    tokens = jnp.zeros((BATCH, 1), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
+    params = jax.tree_util.tree_map(
+        lambda l: relayout_tpu(l) if isinstance(l, MPQTensor) else l,
+        params,
+        is_leaf=lambda x: isinstance(x, QTensorBase),
+    )
+    caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
+
+    @jax.jit
+    def decode_step(params, tok, caches, pos):
+        positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches, cache_len=pos
+        )
+        return jnp.argmax(logits[:, -1], -1)[:, None], caches
+
+    tok = jnp.ones((BATCH, 1), jnp.int32)
+    # warmup + lazy-relayout flush (fetch forces completion)
+    tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32))
+    int(tok[0, 0])
+
+    def timed(n0, steps):
+        t0 = time.time()
+        t = tok
+        c = caches
+        for i in range(n0, n0 + steps):
+            t, c = decode_step(params, t, c, jnp.asarray(i, jnp.int32))
+        int(t[0, 0])  # fetch forces completion of the chained steps
+        return (time.time() - t0) / steps
+
+    timed(1, 10)  # settle
+    return min(timed(11, 50), timed(61, 50))
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    total_q, total_b = projection_sweep(on_tpu)
+
+    run_e2e = on_tpu and os.environ.get("BENCH_E2E", "1") != "0"
+    if run_e2e:
+        step = e2e_decode()
+        toks = BATCH / step
+        # bf16 baseline: same step with weight-matmul time swapped for bf16
+        overhead = max(step - total_q * LAYERS, 0.0)
+        bf16_step = total_b * LAYERS + overhead
+        toks_b = BATCH / bf16_step
+        label = "llama3_8b_w4g128_decode_tokens_per_sec_per_chip"
+        unit = f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN})"
+    else:
+        # projection-level projection (CPU or E2E disabled)
+        lm_time = VOCAB * HIDDEN * 2 / HBM_BW
+        step = total_q * LAYERS + lm_time
+        bf16_step = total_b * LAYERS + lm_time
+        toks = BATCH / step
+        toks_b = BATCH / bf16_step
+        label = "llama3_8b_w4g128_decode_tokens_per_sec_per_chip_projected"
+        unit = f"tokens/s/chip (projected from projection kernels, batch={BATCH})"
+
+    # roofline: packed weights + bf16 lm_head + KV cache read per step
+    packed_bytes = sum(k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4 for _, k, n in PROJS)
+    step_bytes = (
+        packed_bytes * LAYERS
+        + VOCAB * HIDDEN * 2
+        + 2 * BATCH * CACHE_LEN * KV // HIDDEN * HIDDEN * 2 * LAYERS // 4
+    )
+    roofline_toks = BATCH / (step_bytes / HBM_BW)
 
     print(
-        f"# projected decode: fused {toks_q:.1f} tok/s/chip (batch {BATCH}), "
-        f"bf16 {toks_b:.1f}, roofline {roofline_toks:.1f} "
-        f"({100*toks_q/roofline_toks:.0f}% of roofline)",
+        f"# decode: {toks:.1f} tok/s/chip | bf16-equivalent {toks_b:.1f} | "
+        f"roofline {roofline_toks:.1f} ({100*toks/roofline_toks:.0f}%)",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "llama3_8b_w4g128_decode_tokens_per_sec_per_chip_projected",
-                "value": round(toks_q, 2),
-                "unit": "tokens/s/chip (batch=8, projected from per-projection kernel times x32 layers)",
-                "vs_baseline": round(toks_q / toks_b, 3),
+                "metric": label,
+                "value": round(toks, 2),
+                "unit": unit,
+                "vs_baseline": round(toks / toks_b, 3),
                 "extra": {
-                    "bf16_baseline_toks": round(toks_b, 2),
-                    "hbm_roofline_toks": round(roofline_toks, 2),
-                    "pct_of_roofline": round(100 * toks_q / roofline_toks, 1),
+                    "bf16_baseline_toks_per_s": round(toks_b, 2),
+                    "hbm_roofline_toks_per_s": round(roofline_toks, 2),
+                    "pct_of_roofline": round(100 * toks / roofline_toks, 1),
+                    "ms_per_step": round(1e3 * BATCH / toks, 2),
                     "backend": jax.default_backend(),
                 },
             }

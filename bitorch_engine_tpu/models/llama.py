@@ -202,10 +202,7 @@ class LlamaAttention(nn.Module):
             kv_len = s
             new_cache = None
 
-        # GQA: repeat kv heads
         rep = nh // nkv
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
 
         use_flash = (
             cfg.use_flash_attention
@@ -220,10 +217,12 @@ class LlamaAttention(nn.Module):
                 flash_attention,
             )
 
+            k_rep = jnp.repeat(k_all, rep, axis=2)
+            v_rep = jnp.repeat(v_all, rep, axis=2)
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3).astype(jnp.float32),
-                k_all.transpose(0, 2, 1, 3).astype(jnp.float32),
-                v_all.transpose(0, 2, 1, 3).astype(jnp.float32),
+                k_rep.transpose(0, 2, 1, 3).astype(jnp.float32),
+                v_rep.transpose(0, 2, 1, 3).astype(jnp.float32),
                 causal=True,
                 sm_scale=1.0 / math.sqrt(hd),
             ).transpose(0, 2, 1, 3).astype(cfg.dtype)
@@ -231,25 +230,30 @@ class LlamaAttention(nn.Module):
             out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
             return out, new_cache
 
+        # GQA without materializing repeated KV: group the query heads
+        # (b, s, nkv, rep, hd) against the shared KV heads — avoids rep×
+        # extra HBM traffic on the cache, the decode hot path's second-
+        # largest stream after the packed weights.
+        qg = q.reshape(b, s, nkv, rep, hd)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_all, preferred_element_type=jnp.float32
+            "bqgrd,bkgd->bgrqk", qg, k_all, preferred_element_type=jnp.float32
         ) / math.sqrt(hd)
 
         # causal mask in absolute positions (works for prefill & decode)
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, kv_len), 3)
-        q_pos = positions[:, None, :, None]
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, kv_len), 4)
+        q_pos = positions[:, None, None, :, None]
         mask = kv_pos <= q_pos
         if kv_cache is not None:
             if jnp.ndim(cache_len) == 0:
                 valid = cache_len + s
                 mask = jnp.logical_and(mask, kv_pos < valid)
             else:
-                valid = (cache_len + s)[:, None, None, None]
+                valid = (cache_len + s)[:, None, None, None, None]
                 mask = jnp.logical_and(mask, kv_pos < valid)
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
 
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_all)
+        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all)
         ctx = ctx.reshape(b, s, nh * hd)
         out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
         return out, new_cache
@@ -308,12 +312,16 @@ class LlamaModel(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
+        # embed stored in compute dtype: the tied lm_head reads the whole
+        # table every decode step, so an fp32 master would double that
+        # stream AND force a 2 GB cast per step (fp32 masters for training
+        # live in the optimizer state, not the params)
         embed = self.param(
             "embed",
-            lambda key: jax.random.normal(
-                key, (cfg.vocab_size, cfg.hidden_size), jnp.float32
-            )
-            * 0.02,
+            lambda key: (
+                jax.random.normal(key, (cfg.vocab_size, cfg.hidden_size), jnp.float32)
+                * 0.02
+            ).astype(cfg.dtype),
         )
         x = embed[tokens].astype(cfg.dtype)
 

@@ -141,11 +141,13 @@ def mbwq_from_exl2(
     num_qrows = q_weight.shape[0]
 
     # decode per-group scales: exl2 packs 8 4-bit scale codes per int32;
-    # scale = (code+1)^2 * q_scale_max / 256 (exl2 convention)
+    # scale = (code+1)² · q_scale_max / 256 (exllamav2 stores sqrt-compressed
+    # scale codes; unpack_cols already re-applies the +1)
     sc_codes = np.asarray(
         packing.unpack_cols(jnp.asarray(np.asarray(q_scale, np.int32)), 4)
-    )  # (groups, n) with +1 applied
-    q_scale_max = np.asarray(q_scale_max, np.float32).reshape(-1)
+    ).astype(np.float32)
+    sc_codes = sc_codes * sc_codes
+    q_scale_max = np.asarray(q_scale_max, np.float32).reshape(-1) / 256.0
 
     segments = []
     starts = list(qg[:, 1]) + [num_qrows]
@@ -165,8 +167,7 @@ def mbwq_from_exl2(
     seg_meta = []
     for bits, rows, qstart in group_rows:
         gsize = rows  # one exl2 group
-        sc = sc_codes[scale_row] * q_scale_max[scale_row] / 256.0
-        # exl2 scale decode: ((code)^2)/256 * max ; codes already +1 from unpack_cols
+        sc = sc_codes[scale_row] * q_scale_max[scale_row]
         seg_meta.append((bits, rows, qstart, sc))
         scale_row += 1
     segs = []
