@@ -37,11 +37,11 @@ from .quant import dequantize_mpq
 
 Array = jax.Array
 
-# M threshold between the fused-dequant (decode) kernel and dequant+matmul.
-# The reference uses 32 (MAX_Q_GEMM_ROWS, exl2/config.h:4); on TPU the MXU
-# prefers the dequant+matmul path earlier, but the fused path wins while the
-# computation stays HBM-bound.
-DECODE_MAX_ROWS = 32
+# The reference splits decode (fused GEMV, batch ≤ MAX_Q_GEMM_ROWS=32,
+# exl2/config.h:4) from prefill (dequant + cuBLAS).  On TPU the fused Pallas
+# kernel blocks M internally (bm ≤ 256) and stays fastest across regimes
+# (weight streaming dominates until M is very large), so a single path
+# serves both; the XLA dequant+matmul below is the CPU/act-order fallback.
 
 
 def _use_pallas() -> bool:
