@@ -83,10 +83,14 @@ def _binary_forward_math(x, qt: BinaryQTensor, scale_a, bias_a):
         x2d = xs.reshape(-1, k)
         xp, _ = packing.pad_to_multiple(x2d, 1, 32, value=-1.0)
         x_packed = packing.pack_signs(xp)
-        y = xnor_popcount_mm(x_packed, qt.data, kw * 32)
-        # padding bits in both operands are -1 → contribute +1 each; subtract
-        pad = kw * 32 - k
-        y = y - pad
+        if jax.default_backend() == "tpu":
+            from .pallas.binary_gemm import xnor_gemm_pallas
+
+            y = xnor_gemm_pallas(x_packed, qt.data, k)
+        else:
+            y = xnor_popcount_mm(x_packed, qt.data, kw * 32)
+            # padding bits in both operands are -1 → contribute +1 each
+            y = y - (kw * 32 - k)
         y = y.reshape(*lead, -1)
     else:
         w_sign = _sign_pm1(qt.data.astype(jnp.float32))  # (N, K)

@@ -74,3 +74,21 @@ def test_kernel_q_perm_gathers_activations():
     out = mpq_matmul_pallas(x, qt_perm, interpret=True)
     ref = jnp.dot(x, quant.dequantize_mpq(qt_perm, dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(8, 256, 128), (3, 100, 70)])
+def test_xnor_gemm_pallas_interpret(m, k, n):
+    """Pallas XNOR GEMM == sign matmul (interpret mode)."""
+    from bitorch_engine_tpu.ops import packing
+    from bitorch_engine_tpu.ops.pallas.binary_gemm import xnor_gemm_pallas
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    xp, _ = packing.pad_to_multiple(jnp.asarray(x), 1, 32, value=-1.0)
+    wp, _ = packing.pad_to_multiple(jnp.asarray(w), 1, 32, value=-1.0)
+    out = xnor_gemm_pallas(
+        packing.pack_signs(xp), packing.pack_signs(wp), k, interpret=True
+    )
+    expected = np.where(x >= 0, 1.0, -1.0) @ np.where(w >= 0, 1.0, -1.0).T
+    np.testing.assert_allclose(np.asarray(out), expected)
