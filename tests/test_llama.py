@@ -111,3 +111,23 @@ def test_quantized_close_to_fp():
     p_q = jax.nn.softmax(l_q, axis=-1)
     tv = 0.5 * float(jnp.abs(p_fp - p_q).sum(-1).mean())
     assert tv < 0.15, tv
+
+
+def test_mbwq_llama_2bit_greenbit_config():
+    """configs[3] structure: Llama with channel-mixed-bit projections."""
+    cfg = tiny_llama(
+        dtype=jnp.float32,
+        mbwq_strategy=((4, 0.25), (2, 0.75)),
+        group_size=32,
+    )
+    model = LlamaModel(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+    logits, _ = model.apply(params, tokens)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    # average bits ≈ 2.5
+    from bitorch_engine_tpu.ops.mbwq_linear import average_bits
+
+    qt = params["params"]["layer_0"]["attn"]["q_proj"]["qweight"]
+    assert abs(average_bits(qt) - 2.5) < 0.3
