@@ -56,7 +56,9 @@ def projection_sweep(on_tpu):
     """Per-projection fused vs bf16 times; returns (fused_sum, bf16_sum) secs."""
     total_q = 0.0
     total_b = 0.0
+    print(f"# backend={jax.default_backend()} devices={jax.devices()}", file=sys.stderr, flush=True)
     for i, (name, k, n) in enumerate(PROJS):
+        print(f"# [{time.strftime('%H:%M:%S')}] projection {name} ...", file=sys.stderr, flush=True)
         w = jax.random.normal(jax.random.PRNGKey(i), (k, n), jnp.float32) * 0.02
         qt = quant.quantize_mpq(w, w_bit=W_BIT, group_size=GROUP)
         x = jax.random.normal(jax.random.PRNGKey(100 + i), (BATCH, k), jnp.bfloat16)
