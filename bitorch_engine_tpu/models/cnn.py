@@ -31,13 +31,16 @@ class QuantConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # LayerNorm instead of BatchNorm: stateless (no mutable batch_stats
+        # threading through the functional train step) and it actually
+        # normalizes — binary convs saturate the hard_tanh without it.
         Conv = BinaryConv2d if self.bits == 1 else Q4Conv2d
         x = nn.Conv(self.widths[0], (3, 3), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.activation.hard_tanh(x)
         for i, w in enumerate(self.widths[1:]):
             x = Conv(w, (3, 3), name=f"qconv_{i}")(x)
-            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
             x = nn.activation.hard_tanh(x)
             if i % 2 == 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
