@@ -37,11 +37,13 @@ from .quant import dequantize_mpq
 
 Array = jax.Array
 
-# The reference splits decode (fused GEMV, batch ≤ MAX_Q_GEMM_ROWS=32,
-# exl2/config.h:4) from prefill (dequant + cuBLAS).  On TPU the fused Pallas
-# kernel blocks M internally (bm ≤ 256) and stays fastest across regimes
-# (weight streaming dominates until M is very large), so a single path
-# serves both; the XLA dequant+matmul below is the CPU/act-order fallback.
+# Two-regime dispatch, mirroring the reference's decode/prefill split
+# (MAX_Q_GEMM_ROWS=32, exl2/config.h:4) with a TPU-tuned crossover: the
+# fused kernel wins while the matmul is HBM-bound (m=8: 2.9-3.5x vs bf16 on
+# v5e), but once compute-bound the raw MXU matmul on dequantized bf16 is
+# faster (m=2048: fused 157 vs bf16 186 TFLOPs) because the in-kernel
+# unpack shares the critical path.  Threshold measured on v5e.
+MAX_FUSED_ROWS = 512
 
 
 def _use_pallas() -> bool:
@@ -67,7 +69,7 @@ def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
     x2d = x.reshape(-1, k)
     m = x2d.shape[0]
 
-    if _use_pallas() and qt.g_idx is None:
+    if _use_pallas() and qt.g_idx is None and m <= MAX_FUSED_ROWS:
         from .pallas.dequant_matmul import mpq_matmul_pallas
 
         try:

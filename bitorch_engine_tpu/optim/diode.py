@@ -41,6 +41,7 @@ from ..qtensor import (
     BinaryEmbeddingQTensor,
     BinaryQTensor,
     IntQTensor,
+    MBWQTensor,
     MPQTensor,
     QTensorBase,
 )
@@ -91,7 +92,7 @@ def _leaf_init(leaf, key):
 
         w_sign = unpack_signs(leaf.data)[:, : shape[1]]
         return {"exp_avg_s": -(w_sign * delta)}
-    if isinstance(leaf, (IntQTensor, MPQTensor)):
+    if isinstance(leaf, (IntQTensor, MPQTensor, MBWQTensor)):
         shape = leaf.logical_shape
         return {
             "exp_avg_l": jnp.zeros(shape, jnp.float32),
@@ -239,6 +240,39 @@ def _update_mpq(qt: MPQTensor, grad_qt, st, hp, step):
     return new_qt, st
 
 
+def _update_mbwq(qt: MBWQTensor, grad_qt, st, hp, step):
+    """Mixed-bit update: AdamW on the dequantized logical weight, then
+    requantize each per-bit-width segment with its own scales/zeros.
+
+    Beyond-reference capability: the reference's ``pack_fp_weight`` raises
+    NotImplementedError for channel-mix layouts (``nbit/cuda/utils.py:143-145``),
+    so it cannot round-trip MBWQ weights through an optimizer step; the
+    segment decomposition here makes the repack exact per segment.
+    """
+    from ..ops.mbwq_linear import dequantize_mbwq
+
+    grad = grad_qt.grad_shadow.astype(jnp.float32)
+    w = dequantize_mbwq(qt, dtype=jnp.float32)  # logical (K, N)
+    norm_grad, step_size, st = _adamw_norm_grad(grad, st, hp, step)
+    w = w - step_size * norm_grad
+
+    # stored order: gather logical rows by q_perm, then split per segment
+    w_stored = w[qt.q_perm] if qt.q_perm is not None else w
+    new_segments = []
+    off = 0
+    do_zeros = (step % hp.zeros_update_interval) == 0
+    ng_stored = norm_grad[qt.q_perm] if qt.q_perm is not None else norm_grad
+    for seg in qt.segments:
+        k_seg = seg.in_features
+        seg_w = w_stored[off : off + k_seg]
+        g_mean = _group_mean(step_size * ng_stored[off : off + k_seg], seg.group_size)
+        new_zeros = jnp.where(do_zeros, seg.zeros + g_mean.astype(seg.zeros.dtype), seg.zeros)
+        seg2 = seg.replace(zeros=new_zeros)
+        new_segments.append(seg2.replace(packed=repack_mpq(seg_w, seg2)))
+        off += k_seg
+    return qt.replace(segments=tuple(new_segments)), st
+
+
 def _update_binary_embedding(qt: BinaryEmbeddingQTensor, grad_qt, st, hp, step):
     """Sparse XOR update on rows touched in the last batch
     (model_helper.py:404-434).  Rows with zero gradient are untouched."""
@@ -277,6 +311,8 @@ def diode_update(grads, state: DiodeState, params, hp: Optional[DiodeHyperParams
             np_, ns = _update_intq(p, g, s, hp, step)
         elif isinstance(p, MPQTensor):
             np_, ns = _update_mpq(p, g, s, hp, step)
+        elif isinstance(p, MBWQTensor):
+            np_, ns = _update_mbwq(p, g, s, hp, step)
         else:
             np_, ns = _update_fp(p, g, s, hp, step)
         new_p.append(np_)

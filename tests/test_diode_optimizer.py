@@ -124,3 +124,35 @@ def test_end_to_end_training_reduces_loss_mpq():
         params, state = diode_update(grads, state, params, hp)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_mbwq_update_descends():
+    """Mixed-bit (MBWQ) training: loss decreases, segments stay packed."""
+    from bitorch_engine_tpu.ops.mbwq_linear import mbwq_linear, quantize_mbwq
+
+    rng = np.random.default_rng(7)
+    k, n = 128, 64
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    strategy = {"bits": [8, 4], "bits_prop": [0.5, 0.5], "group_size": {"8": 32, "4": 32}}
+    qt = with_grad_shadow(quantize_mbwq(jnp.asarray(w), strategy))
+    x = jnp.asarray(rng.standard_normal((32, k)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((32, n)).astype(np.float32))
+    params = {"q": qt}
+    hp = DiodeHyperParams(lr=2e-3)
+    state = diode_init(params, hp=hp)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            return jnp.mean((mbwq_linear(x, p["q"]) - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(params)
+        p2, s2 = diode_update(grads, state, params, hp)
+        return p2, s2, loss
+
+    losses = []
+    for _ in range(20):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses[:3] + losses[-3:]
+    assert params["q"].segments[0].packed.dtype == jnp.int32
