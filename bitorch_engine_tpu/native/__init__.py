@@ -30,7 +30,9 @@ _TRIED = False
 
 def _so_path() -> str:
     cache = os.environ.get("BIE_TPU_CACHE", _HERE)
-    return os.path.join(cache, "_bitpack.so")
+    # "lib" prefix: NOT an importable-module name, so package walkers don't
+    # try to import a ctypes-only shared object
+    return os.path.join(cache, "libbitpack.so")
 
 
 def _build() -> Optional[str]:
