@@ -81,19 +81,30 @@ def time_op(
 
 
 def time_fn_pytree(f: Callable, args, iters: int = 20, warmup: int = 1) -> float:
-    """Seconds per execution for functions over pytrees (e.g. a full decode
-    step with KV caches); the whole loop still runs in one dispatch by
-    chaining the carry through the iterations."""
+    """Seconds per execution for carry-chained step functions (e.g. a decode
+    step with KV caches): ``f`` must map the args pytree to a same-structure
+    pytree (``new_args = f(args)``), so the loop runs in one dispatch with a
+    real data dependence between iterations.  Completion is fetch-forced
+    (block_until_ready is unreliable under the sandbox's tunneled client).
+    """
 
     @jax.jit
-    def loop(args):
-        def body(i, args):
-            return f(*args)
+    def loop(args, n):
+        return lax.fori_loop(0, n, lambda i, a: f(a), args)
 
-        return lax.fori_loop(0, iters, body, args)
+    def run(n):
+        out = loop(args, n)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        return out
 
+    lo, hi = max(iters // 5, 1), iters
     for _ in range(max(warmup, 1)):
-        jax.block_until_ready(loop(args))
+        run(lo)
+        run(hi)
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(args))
-    return (time.perf_counter() - t0) / iters
+    run(lo)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(hi)
+    t_hi = time.perf_counter() - t0
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
