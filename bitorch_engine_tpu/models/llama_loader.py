@@ -1,0 +1,114 @@
+"""Llama checkpoint → engine params tree (HF-layout safetensors).
+
+Completes the green-bit-llm-style flow (reference README.md:18-19): map
+HuggingFace Llama tensor names to this engine's flax param paths, quantizing
+fp weights on the fly (RTN) or ingesting pre-quantized GPTQ tensors.
+
+Name mapping (HF → engine):
+    model.embed_tokens.weight                    → params/embed
+    model.layers.{i}.self_attn.{q,k,v,o}_proj    → params/layer_{i}/attn/{q,k,v,o}_proj/qweight
+    model.layers.{i}.mlp.{gate,up,down}_proj     → params/layer_{i}/mlp/{...}_proj/qweight
+    model.layers.{i}.input_layernorm.weight      → params/layer_{i}/input_norm/weight
+    model.layers.{i}.post_attention_layernorm    → params/layer_{i}/post_attn_norm/weight
+    model.norm.weight                            → params/final_norm/weight
+(lm_head is tied to embed in this engine's LlamaModel.)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quant import quantize_mpq
+from ..qtensor import MPQTensor
+from ..utils import ingest
+from .llama import LlamaConfig
+
+_PROJ = {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
+
+
+def _block_of(proj: str) -> str:
+    return "attn" if proj in ("q_proj", "k_proj", "v_proj", "o_proj") else "mlp"
+
+
+def load_llama_params(
+    tensors: Dict[str, np.ndarray],
+    cfg: LlamaConfig,
+    dtype=jnp.bfloat16,
+) -> Dict:
+    """Build the engine params tree from an HF-layout tensor dict.
+
+    Detects per-layer quantization format:
+    * ``...{proj}.weight`` fp  → RTN-quantized to (cfg.w_bit, cfg.group_size)
+    * ``...{proj}.qweight`` (+``qzeros``/``scales``[/``g_idx``]) → GPTQ ingest
+    """
+    layers: Dict[str, Dict] = {}
+    out: Dict[str, object] = {}
+
+    def qspec(prefix: str) -> Optional[MPQTensor]:
+        if prefix + ".qweight" in tensors:
+            return ingest.mpq_from_gptq(
+                tensors[prefix + ".qweight"],
+                tensors[prefix + ".qzeros"],
+                tensors[prefix + ".scales"],
+                tensors.get(prefix + ".g_idx"),
+            )
+        if prefix + ".weight" in tensors:
+            w = np.asarray(tensors[prefix + ".weight"], np.float32).T  # (K, N)
+            return quantize_mpq(
+                jnp.asarray(w), w_bit=cfg.w_bit, group_size=cfg.group_size,
+                asym=cfg.asym,
+            )
+        return None
+
+    for name in tensors:
+        m = re.match(r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+_proj)\.", name)
+        if not m:
+            continue
+        i, _, proj = int(m.group(1)), m.group(2), m.group(3)
+        key = f"layer_{i}"
+        block = _block_of(proj)
+        layers.setdefault(key, {}).setdefault(block, {})
+        if "qweight" in layers[key][block].get(proj, {}):
+            continue
+        prefix = name[: name.rindex(".")]
+        qt = qspec(prefix)
+        if qt is not None and proj not in layers[key][block]:
+            layers[key][block][proj] = {"qweight": qt}
+
+    for i in range(cfg.num_layers):
+        key = f"layer_{i}"
+        if key not in layers:
+            raise ValueError(f"missing layer {i} in checkpoint")
+        ln1 = tensors.get(f"model.layers.{i}.input_layernorm.weight")
+        ln2 = tensors.get(f"model.layers.{i}.post_attention_layernorm.weight")
+        layers[key]["input_norm"] = {
+            "weight": jnp.asarray(np.asarray(ln1, np.float32))
+            if ln1 is not None
+            else jnp.ones((cfg.hidden_size,), jnp.float32)
+        }
+        layers[key]["post_attn_norm"] = {
+            "weight": jnp.asarray(np.asarray(ln2, np.float32))
+            if ln2 is not None
+            else jnp.ones((cfg.hidden_size,), jnp.float32)
+        }
+        out[key] = layers[key]
+
+    embed = tensors.get("model.embed_tokens.weight")
+    if embed is None:
+        raise ValueError("missing model.embed_tokens.weight")
+    out["embed"] = jnp.asarray(np.asarray(embed), dtype)
+    norm = tensors.get("model.norm.weight")
+    out["final_norm"] = {
+        "weight": jnp.asarray(np.asarray(norm, np.float32))
+        if norm is not None
+        else jnp.ones((cfg.hidden_size,), jnp.float32)
+    }
+    return {"params": out}
+
+
+def load_llama_from_safetensors(path: str, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    return load_llama_params(ingest.load_safetensors(path), cfg, dtype)

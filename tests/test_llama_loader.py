@@ -1,0 +1,77 @@
+"""HF-layout checkpoint → Llama params loader tests (fp and GPTQ formats)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bitorch_engine_tpu.models.llama import LlamaModel, tiny_llama
+from bitorch_engine_tpu.models.llama_loader import load_llama_params
+from bitorch_engine_tpu.ops import quant
+
+
+def _hf_fp_tensors(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    t = {}
+    t["model.embed_tokens.weight"] = (
+        rng.standard_normal((cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    )
+    t["model.norm.weight"] = np.ones(cfg.hidden_size, np.float32)
+    hd = cfg.head_dim
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(cfg.hidden_size, np.float32)
+        shapes = {
+            "self_attn.q_proj": (cfg.num_heads * hd, cfg.hidden_size),
+            "self_attn.k_proj": (cfg.num_kv_heads * hd, cfg.hidden_size),
+            "self_attn.v_proj": (cfg.num_kv_heads * hd, cfg.hidden_size),
+            "self_attn.o_proj": (cfg.hidden_size, cfg.num_heads * hd),
+            "mlp.gate_proj": (cfg.intermediate_size, cfg.hidden_size),
+            "mlp.up_proj": (cfg.intermediate_size, cfg.hidden_size),
+            "mlp.down_proj": (cfg.hidden_size, cfg.intermediate_size),
+        }
+        for name, (o, k) in shapes.items():
+            t[p + name + ".weight"] = (
+                rng.standard_normal((o, k)).astype(np.float32) * 0.02
+            )
+    return t
+
+
+def test_load_fp_checkpoint_and_run():
+    cfg = tiny_llama(dtype=jnp.float32)
+    tensors = _hf_fp_tensors(cfg)
+    params = load_llama_params(tensors, cfg, dtype=jnp.float32)
+    model = LlamaModel(cfg)
+    # structure must match a self-initialized model
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    assert str(jax.tree_util.tree_structure(params)) == str(
+        jax.tree_util.tree_structure(ref)
+    )
+    logits, _ = model.apply(params, jnp.asarray([[1, 2, 3, 4]], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_load_gptq_checkpoint_matches_fp_quantization():
+    """A GPTQ-format checkpoint must load to the same dequantized weights as
+    quantizing the fp original with the same config."""
+    cfg = tiny_llama(dtype=jnp.float32, asym=True, group_size=64)
+    tensors = _hf_fp_tensors(cfg, seed=1)
+    # produce the GPTQ version of one projection
+    w = tensors["model.layers.0.self_attn.q_proj.weight"]
+    qt = quant.quantize_mpq(
+        jnp.asarray(w.T), w_bit=cfg.w_bit, group_size=cfg.group_size, asym=True
+    )
+    p = "model.layers.0.self_attn.q_proj."
+    del tensors[p + "weight"]
+    tensors[p + "qweight"] = np.asarray(qt.packed)
+    tensors[p + "qzeros"] = np.asarray(qt.zeros)
+    tensors[p + "scales"] = np.asarray(qt.scales)
+
+    params = load_llama_params(tensors, cfg, dtype=jnp.float32)
+    loaded = params["params"]["layer_0"]["attn"]["q_proj"]["qweight"]
+    np.testing.assert_array_equal(
+        np.asarray(loaded.packed), np.asarray(qt.packed)
+    )
+    w_a = quant.dequantize_mpq(loaded, jnp.float32)
+    w_b = quant.dequantize_mpq(qt, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
