@@ -54,6 +54,11 @@ class LlamaConfig:
     # KV-cache einsum path). Greenfield vs the reference's O(L²) BMHA
     # softmax (SURVEY.md §5 long-context row).
     use_flash_attention: bool = struct.field(pytree_node=False, default=True)
+    # 'bf16' or 'int8': int8 halves the per-step cache stream and doubles
+    # capacity; per-position scales factor out of both attention
+    # contractions so the int8 payload feeds the MXU directly (greenfield —
+    # the reference has no KV cache at all).
+    kv_cache_dtype: str = struct.field(pytree_node=False, default="bf16")
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -175,28 +180,53 @@ class LlamaAttention(nn.Module):
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
 
+        kv_quant = cfg.kv_cache_dtype == "int8" and kv_cache is not None
+        k_scale_all = v_scale_all = None
         if kv_cache is not None:
-            ck, cv = kv_cache  # (b, max_len, nkv, hd)
-            if jnp.ndim(cache_len) == 0:
-                ck = jax.lax.dynamic_update_slice_in_dim(
-                    ck, k.astype(ck.dtype), cache_len, axis=1
-                )
-                cv = jax.lax.dynamic_update_slice_in_dim(
-                    cv, v.astype(cv.dtype), cache_len, axis=1
-                )
-            else:
+
+            def write(cache, update, positions_):
+                if jnp.ndim(positions_) == 0:
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        cache, update.astype(cache.dtype), positions_, axis=1
+                    )
                 # per-slot positions (continuous batching): each batch row
                 # writes its new KV at its own cache position
-                upd = jax.vmap(
+                return jax.vmap(
                     lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
-                        c, u, p, axis=0
+                        c, u.astype(c.dtype), p, axis=0
                     )
-                )
-                ck = upd(ck, k.astype(ck.dtype), cache_len)
-                cv = upd(cv, v.astype(cv.dtype), cache_len)
-            k_all, v_all = ck, cv
-            kv_len = ck.shape[1]
-            new_cache = (ck, cv)
+                )(cache, update, positions_)
+
+            if kv_quant:
+                ck, cks, cv, cvs = kv_cache  # int8 (b,L,nkv,hd) + fp scales (b,L,nkv)
+
+                def quantize(u):
+                    amax = jnp.max(jnp.abs(u.astype(jnp.float32)), axis=-1)
+                    scale = jnp.maximum(amax, 1e-6) / 127.0
+                    q = jnp.clip(
+                        jnp.round(u.astype(jnp.float32) / scale[..., None]),
+                        -127,
+                        127,
+                    ).astype(jnp.int8)
+                    return q, scale.astype(jnp.float32)
+
+                k8, ks = quantize(k)
+                v8, vs_ = quantize(v)
+                ck = write(ck, k8, cache_len)
+                cks = write(cks, ks, cache_len)
+                cv = write(cv, v8, cache_len)
+                cvs = write(cvs, vs_, cache_len)
+                k_all, v_all = ck, cv
+                k_scale_all, v_scale_all = cks, cvs
+                kv_len = ck.shape[1]
+                new_cache = (ck, cks, cv, cvs)
+            else:
+                ck, cv = kv_cache  # (b, max_len, nkv, hd)
+                ck = write(ck, k, cache_len)
+                cv = write(cv, v, cache_len)
+                k_all, v_all = ck, cv
+                kv_len = ck.shape[1]
+                new_cache = (ck, cv)
         else:
             k_all, v_all = k, v
             kv_len = s
@@ -236,8 +266,14 @@ class LlamaAttention(nn.Module):
         # largest stream after the packed weights.
         qg = q.reshape(b, s, nkv, rep, hd)
         scores = jnp.einsum(
-            "bqgrd,bkgd->bgrqk", qg, k_all, preferred_element_type=jnp.float32
+            "bqgrd,bkgd->bgrqk",
+            qg,
+            k_all.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
         ) / math.sqrt(hd)
+        if kv_quant:
+            # per-position scales factor out of the head_dim contraction
+            scores = scores * k_scale_all.transpose(0, 2, 1)[:, :, None, None, :]
 
         # causal mask in absolute positions (works for prefill & decode)
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, kv_len), 4)
@@ -253,7 +289,12 @@ class LlamaAttention(nn.Module):
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
 
-        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all)
+        if kv_quant:
+            # fold per-position V scales into the probabilities
+            probs = probs * v_scale_all.transpose(0, 2, 1)[:, :, None, None, :].astype(
+                probs.dtype
+            )
+        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all.astype(probs.dtype))
         ctx = ctx.reshape(b, s, nh * hd)
         out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
         return out, new_cache
@@ -339,9 +380,25 @@ class LlamaModel(nn.Module):
 
 
 def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
-    """Allocate empty per-layer KV caches: (b, max_len, kv_heads, head_dim)."""
+    """Allocate empty per-layer KV caches.
+
+    bf16: per layer ``(k, v)`` of (b, max_len, kv_heads, head_dim).
+    int8: per layer ``(k_int8, k_scales, v_int8, v_scales)`` with fp32
+    per-position scales (b, max_len, kv_heads).
+    """
     max_len = max_len or cfg.max_seq_len
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.kv_cache_dtype == "int8":
+        sshape = (batch, max_len, cfg.num_kv_heads)
+        return [
+            (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32),
+            )
+            for _ in range(cfg.num_layers)
+        ]
     return [
         (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
         for _ in range(cfg.num_layers)

@@ -131,3 +131,30 @@ def test_mbwq_llama_2bit_greenbit_config():
 
     qt = params["params"]["layer_0"]["attn"]["q_proj"]["qweight"]
     assert abs(average_bits(qt) - 2.5) < 0.3
+
+
+def test_int8_kv_cache_decode_close_to_bf16():
+    """int8 KV cache decode tracks the bf16-cache decode closely."""
+    cfg = tiny_llama(dtype=jnp.float32)
+    cfg8 = tiny_llama(dtype=jnp.float32, kv_cache_dtype="int8")
+    model, model8 = LlamaModel(cfg), LlamaModel(cfg8)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+
+    caches = init_kv_caches(cfg, 1, 16)
+    caches8 = init_kv_caches(cfg8, 1, 16)
+    l1, caches = prefill(model, params, tokens[:, :4], caches)
+    l2, caches8 = prefill(model8, params, tokens[:, :4], caches8)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=0.05, atol=0.05)
+    for i in range(4, 8):
+        s1, caches = decode_step(
+            model, params, tokens[:, i : i + 1], caches, jnp.asarray(i, jnp.int32)
+        )
+        s2, caches8 = decode_step(
+            model8, params, tokens[:, i : i + 1], caches8, jnp.asarray(i, jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=0.05, atol=0.08
+        )
+    # int8 cache really is int8
+    assert caches8[0][0].dtype == jnp.int8
