@@ -89,14 +89,18 @@ def projection_sweep(on_tpu):
     return total_q, total_b
 
 
-def e2e_decode():
+def e2e_decode(kv_cache_dtype="int8"):
     """Full Llama-3-8B 4-bit decode step; returns seconds/step."""
     from bitorch_engine_tpu.models.llama import LlamaModel, llama3_8b, init_kv_caches
     from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
     from bitorch_engine_tpu.qtensor import MPQTensor, QTensorBase
 
     cfg = llama3_8b(
-        dtype=jnp.bfloat16, w_bit=W_BIT, group_size=GROUP, max_seq_len=CACHE_LEN
+        dtype=jnp.bfloat16,
+        w_bit=W_BIT,
+        group_size=GROUP,
+        max_seq_len=CACHE_LEN,
+        kv_cache_dtype=kv_cache_dtype,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
@@ -140,14 +144,19 @@ def main():
 
     run_e2e = on_tpu and os.environ.get("BENCH_E2E", "1") != "0"
     if run_e2e:
-        step = e2e_decode()
+        # headline config: 4-bit weights + int8 KV cache (the engine's
+        # serving configuration; logits within 5% of the bf16 cache)
+        step = e2e_decode("int8")
         toks = BATCH / step
         # bf16 baseline: same step with weight-matmul time swapped for bf16
         overhead = max(step - total_q * LAYERS, 0.0)
         bf16_step = total_b * LAYERS + overhead
         toks_b = BATCH / bf16_step
-        label = "llama3_8b_w4g128_decode_tokens_per_sec_per_chip"
-        unit = f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN})"
+        label = "llama3_8b_w4g128_kv8_decode_tokens_per_sec_per_chip"
+        unit = (
+            f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN},"
+            " int8 KV)"
+        )
     else:
         # projection-level projection (CPU or E2E disabled)
         lm_time = VOCAB * HIDDEN * 2 / HBM_BW

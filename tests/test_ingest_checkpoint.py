@@ -93,3 +93,58 @@ def test_orbax_roundtrip(tmp_path):
     out_a = quant.dequantize_mpq(params["layer"]["qweight"], jnp.float32)
     out_b = quant.dequantize_mpq(restored["layer"]["qweight"], jnp.float32)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_mbwq_from_exl2_synthetic():
+    """Synthesize an exl2-style tensor set (4-bit + 2-bit groups) and ingest."""
+    rng = np.random.default_rng(7)
+    n = 64
+    gs4, gs2 = 32, 32
+    n4, n2 = 2, 2  # groups per bit width
+    k4, k2 = n4 * gs4, n2 * gs2
+
+    # per-group fp scales → sqrt-compressed 4-bit codes + per-group max
+    true_scales = rng.uniform(0.01, 0.1, (n4 + n2, n)).astype(np.float32)
+    q_scale_max = true_scales.max(axis=1) * 1.05
+    codes = np.clip(
+        np.round(np.sqrt(true_scales / q_scale_max[:, None] * 256.0)) - 1, 0, 15
+    ).astype(np.int32)
+    q_scale = np.asarray(packing.pack_cols(jnp.asarray(codes + 1), 4))
+
+    # packed weights: 4-bit rows then 2-bit rows (GPTQ row-pack per segment)
+    codes4 = rng.integers(0, 16, (k4, n), dtype=np.int64).astype(np.int32)
+    codes2 = rng.integers(0, 4, (k2, n), dtype=np.int64).astype(np.int32)
+    qw4 = np.asarray(packing.pack_rows(jnp.asarray(codes4), 4))
+    qw2 = np.asarray(packing.pack_rows(jnp.asarray(codes2), 2))
+    q_weight = np.concatenate([qw4, qw2], axis=0)
+
+    # q_groups: [bits, qrow_start] pairs
+    q_groups = []
+    qrow = 0
+    for g in range(n4):
+        q_groups += [4, qrow]
+        qrow += gs4 * 4 // 32
+    for g in range(n2):
+        q_groups += [2, qrow]
+        qrow += gs2 * 2 // 32
+    q_groups = np.asarray(q_groups, np.int32)
+
+    from bitorch_engine_tpu.utils.ingest import mbwq_from_exl2
+    from bitorch_engine_tpu.ops.mbwq_linear import average_bits, dequantize_mbwq
+
+    qt = mbwq_from_exl2(q_weight, q_scale, q_scale_max, q_groups)
+    assert qt.bit_widths == (4, 2)
+    assert qt.in_features == k4 + k2
+    assert abs(average_bits(qt) - 3.0) < 0.01
+
+    # decoded scales match the sqrt-compression within quantization error
+    dec_scales = np.concatenate(
+        [np.asarray(s.scales) for s in qt.segments], axis=0
+    )
+    rel = np.abs(dec_scales - true_scales) / true_scales
+    assert np.median(rel) < 0.2, np.median(rel)
+
+    # dequantized weight reproduces codes * scale - midpoint*scale
+    w = np.asarray(dequantize_mbwq(qt, jnp.float32))
+    exp4 = (codes4 - 8) * dec_scales[:n4].repeat(gs4, axis=0)
+    np.testing.assert_allclose(w[:k4], exp4, rtol=1e-5, atol=1e-6)
