@@ -59,6 +59,10 @@ class LlamaConfig:
     # contractions so the int8 payload feeds the MXU directly (greenfield —
     # the reference has no KV cache at all).
     kv_cache_dtype: str = struct.field(pytree_node=False, default="bf16")
+    # int8 embed/lm_head: the tied table is read whole every decode step for
+    # the logits matmul; per-row scales factor out of the hidden contraction
+    # (logits[v] = s_v * (x @ E8_v)), halving that stream.
+    quantize_embed: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -357,14 +361,38 @@ class LlamaModel(nn.Module):
         # table every decode step, so an fp32 master would double that
         # stream AND force a 2 GB cast per step (fp32 masters for training
         # live in the optimizer state, not the params)
-        embed = self.param(
-            "embed",
-            lambda key: (
-                jax.random.normal(key, (cfg.vocab_size, cfg.hidden_size), jnp.float32)
-                * 0.02
-            ).astype(cfg.dtype),
-        )
-        x = embed[tokens].astype(cfg.dtype)
+        if cfg.quantize_embed:
+
+            def init_embed(key):
+                e = (
+                    jax.random.normal(
+                        key, (cfg.vocab_size, cfg.hidden_size), jnp.float32
+                    )
+                    * 0.02
+                )
+                scale = jnp.maximum(jnp.max(jnp.abs(e), axis=1), 1e-6) / 127.0
+                q = jnp.clip(jnp.round(e / scale[:, None]), -127, 127).astype(
+                    jnp.int8
+                )
+                return {"data": q, "scale": scale.astype(jnp.float32)}
+
+            embed_q = self.param("embed", init_embed)
+            e8, e_scale = embed_q["data"], embed_q["scale"]
+            x = (
+                e8[tokens].astype(cfg.dtype)
+                * e_scale[tokens][..., None].astype(cfg.dtype)
+            )
+        else:
+            embed = self.param(
+                "embed",
+                lambda key: (
+                    jax.random.normal(
+                        key, (cfg.vocab_size, cfg.hidden_size), jnp.float32
+                    )
+                    * 0.02
+                ).astype(cfg.dtype),
+            )
+            x = embed[tokens].astype(cfg.dtype)
 
         new_caches = []
         for i in range(cfg.num_layers):
@@ -373,9 +401,18 @@ class LlamaModel(nn.Module):
             new_caches.append(nc)
 
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="final_norm")(x)
-        logits = jnp.dot(
-            x, embed.T.astype(cfg.dtype), preferred_element_type=jnp.float32
-        )
+        if cfg.quantize_embed:
+            # per-row scale factors out of the hidden contraction
+            logits = (
+                jnp.dot(
+                    x, e8.T.astype(cfg.dtype), preferred_element_type=jnp.float32
+                )
+                * e_scale[None, None, :]
+            )
+        else:
+            logits = jnp.dot(
+                x, embed.T.astype(cfg.dtype), preferred_element_type=jnp.float32
+            )
         return logits, (new_caches if kv_caches is not None else None)
 
 

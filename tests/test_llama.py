@@ -158,3 +158,32 @@ def test_int8_kv_cache_decode_close_to_bf16():
         )
     # int8 cache really is int8
     assert caches8[0][0].dtype == jnp.int8
+
+
+def test_quantized_embed_close_to_fp():
+    """int8 tied embed/lm_head tracks the fp embedding closely."""
+    cfg = tiny_llama(dtype=jnp.float32)
+    cfg8 = tiny_llama(dtype=jnp.float32, quantize_embed=True)
+    model, model8 = LlamaModel(cfg), LlamaModel(cfg8)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+    # build the int8 model's params from the same fp table
+    e = params["params"]["embed"]
+    import numpy as _np
+
+    scale = _np.maximum(_np.abs(_np.asarray(e)).max(axis=1), 1e-6) / 127.0
+    q = _np.clip(_np.round(_np.asarray(e) / scale[:, None]), -127, 127).astype(
+        _np.int8
+    )
+    params8 = jax.tree_util.tree_map(lambda x: x, params)
+    params8["params"]["embed"] = {
+        "data": jnp.asarray(q),
+        "scale": jnp.asarray(scale.astype(_np.float32)),
+    }
+    l1, _ = model.apply(params, tokens)
+    l2, _ = model8.apply(params8, tokens)
+    # logits track within int8 quantization error of the embedding
+    p1 = jax.nn.softmax(l1, -1)
+    p2 = jax.nn.softmax(l2, -1)
+    tv = 0.5 * float(jnp.abs(p1 - p2).sum(-1).mean())
+    assert tv < 0.1, tv
