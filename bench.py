@@ -101,6 +101,7 @@ def e2e_decode(kv_cache_dtype="int8"):
         group_size=GROUP,
         max_seq_len=CACHE_LEN,
         kv_cache_dtype=kv_cache_dtype,
+        quantize_embed=kv_cache_dtype == "int8",
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
@@ -144,18 +145,19 @@ def main():
 
     run_e2e = on_tpu and os.environ.get("BENCH_E2E", "1") != "0"
     if run_e2e:
-        # headline config: 4-bit weights + int8 KV cache (the engine's
-        # serving configuration; logits within 5% of the bf16 cache)
+        # headline config: 4-bit weights + int8 KV cache + int8 tied
+        # embed/lm_head (the engine's serving configuration; logits track
+        # the bf16-cache fp-embed model within a few percent)
         step = e2e_decode("int8")
         toks = BATCH / step
         # bf16 baseline: same step with weight-matmul time swapped for bf16
         overhead = max(step - total_q * LAYERS, 0.0)
         bf16_step = total_b * LAYERS + overhead
         toks_b = BATCH / bf16_step
-        label = "llama3_8b_w4g128_kv8_decode_tokens_per_sec_per_chip"
+        label = "llama3_8b_w4_serving_decode_tokens_per_sec_per_chip"
         unit = (
             f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN},"
-            " int8 KV)"
+            " int8 KV + int8 lm_head)"
         )
     else:
         # projection-level projection (CPU or E2E disabled)
