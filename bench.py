@@ -169,13 +169,13 @@ def main():
         label = "llama3_8b_w4g128_decode_tokens_per_sec_per_chip_projected"
         unit = f"tokens/s/chip (projected from projection kernels, batch={BATCH})"
 
-    # roofline: packed weights + bf16 lm_head + KV cache read per step
+    # roofline for the serving config: 4-bit packed weights + fp32 group
+    # metadata + int8 lm_head + int8 KV cache, all read once per step
     packed_bytes = sum(k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4 for _, k, n in PROJS)
-    step_bytes = (
-        packed_bytes * LAYERS
-        + VOCAB * HIDDEN * 2
-        + 2 * BATCH * CACHE_LEN * KV // HIDDEN * HIDDEN * 2 * LAYERS // 4
-    )
+    kv_heads, head_dim = 8, 128
+    kv_bytes = 2 * BATCH * CACHE_LEN * kv_heads * head_dim * 1 * LAYERS
+    lm_bytes = VOCAB * HIDDEN * 1
+    step_bytes = packed_bytes * LAYERS + lm_bytes + kv_bytes
     roofline_toks = BATCH / (step_bytes / HBM_BW)
 
     print(
