@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..qtensor import BinaryQTensor
+from ..qtensor import BinaryQTensor, qtensor_cotangent
 from . import packing
 from .quant import nv_tensor_quant
 
@@ -134,30 +134,13 @@ def _binary_linear_bwd(res, g):
     grad_weight = nv_tensor_quant(grad_weight)[0]
 
     grad_bias_a = jnp.sum(grad_input, axis=0).astype(xs.dtype)
-    grad_qt = _zero_like_qtensor_cotangent(qt, grad_weight)
+    grad_qt = qtensor_cotangent(qt, grad_weight if qt.grad_shadow is not None else None)
     return (
         grad_input.reshape(*lead, k).astype(xs.dtype),
         grad_qt,
         grad_scale_a.astype(scale_a.dtype),
         grad_bias_a,
     )
-
-
-def _zero_like_qtensor_cotangent(qt, grad_shadow):
-    """Cotangent pytree for a QTensor: float0 for int payloads, fp grad in shadow."""
-    import numpy as np
-
-    def ct(leaf):
-        if leaf is None:
-            return None
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros_like(leaf)
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-    base = jax.tree_util.tree_map(ct, qt)
-    if qt.grad_shadow is not None:
-        base = base.replace(grad_shadow=grad_shadow.astype(qt.grad_shadow.dtype))
-    return base
 
 
 binary_linear.defvjp(_binary_linear_fwd, _binary_linear_bwd)

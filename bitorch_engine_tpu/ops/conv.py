@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..qtensor import BinaryQTensor, IntQTensor
+from ..qtensor import BinaryQTensor, IntQTensor, qtensor_cotangent
 
 Array = jax.Array
 
@@ -89,16 +89,7 @@ def binary_conv2d(
         # grad wrt weight: correlate sign(x) with g
         grad_w = _conv_weight_grad(_sign_pm1(x) * scale_a, g32, qt.data.shape, stride, padding)
 
-        def ct(leaf):
-            if leaf is None:
-                return None
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                return jnp.zeros_like(leaf)
-            return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-        grad_qt = jax.tree_util.tree_map(ct, qt)
-        if qt.grad_shadow is not None:
-            grad_qt = grad_qt.replace(grad_shadow=grad_w.astype(qt.grad_shadow.dtype))
+        grad_qt = qtensor_cotangent(qt, grad_w if qt.grad_shadow is not None else None)
         return grad_x.astype(x.dtype), grad_qt, grad_scale_a.astype(scale_a.dtype)
 
     _op.defvjp(_fwd, _bwd)
@@ -170,16 +161,7 @@ def qat_conv2d(
         ) / math.sqrt(x.size * qhigh)
         grad_w = _conv_weight_grad(q_a * scale, g32, qt.data.shape, stride, padding)
 
-        def ct(leaf):
-            if leaf is None:
-                return None
-            if jnp.issubdtype(leaf.dtype, jnp.floating):
-                return jnp.zeros_like(leaf)
-            return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-        grad_qt = jax.tree_util.tree_map(ct, qt)
-        if qt.grad_shadow is not None:
-            grad_qt = grad_qt.replace(grad_shadow=grad_w.astype(qt.grad_shadow.dtype))
+        grad_qt = qtensor_cotangent(qt, grad_w if qt.grad_shadow is not None else None)
         return grad_x.astype(x.dtype), grad_qt, grad_scale_a.astype(scale_a.dtype)
 
     _op.defvjp(_fwd, _bwd)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..qtensor import BinaryEmbeddingQTensor
+from ..qtensor import BinaryEmbeddingQTensor, qtensor_cotangent
 from . import packing
 
 Array = jax.Array
@@ -58,16 +58,7 @@ def _embed_bwd(res, g):
     flat_g = g.reshape(-1, dim).astype(jnp.float32)
     dense = jnp.zeros((vocab, dim), jnp.float32).at[flat_idx].add(flat_g)
 
-    def ct(leaf):
-        if leaf is None:
-            return None
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros_like(leaf)
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-    grad_qt = jax.tree_util.tree_map(ct, qt)
-    if qt.grad_shadow is not None:
-        grad_qt = grad_qt.replace(grad_shadow=dense.astype(qt.grad_shadow.dtype))
+    grad_qt = qtensor_cotangent(qt, dense if qt.grad_shadow is not None else None)
     return np.zeros(indices.shape, dtype=jax.dtypes.float0), grad_qt
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..qtensor import MBWQTensor, MPQTensor
+from ..qtensor import MBWQTensor, MPQTensor, qtensor_cotangent
 from . import packing
 from .quant import dequantize_mpq, quantize_mpq
 
@@ -163,20 +163,13 @@ def _mbwq_bwd(res, g):
     g2d = g.reshape(-1, n).astype(x.dtype)
     grad_x = jnp.dot(g2d, w_eff.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
-    def ct(leaf):
-        if leaf is None:
-            return None
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros_like(leaf)
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-    grad_qt = jax.tree_util.tree_map(ct, qt)
+    gw = None
     if qt.grad_shadow is not None:
         x2d = x.reshape(-1, k)
         if qt.channel_scale is not None:
             x2d = x2d * qt.channel_scale.astype(x2d.dtype)
         gw = jnp.dot(x2d.T, g2d, preferred_element_type=jnp.float32)
-        grad_qt = grad_qt.replace(grad_shadow=gw.astype(qt.grad_shadow.dtype))
+    grad_qt = qtensor_cotangent(qt, gw)
     return grad_x.reshape(*lead, k), grad_qt
 
 

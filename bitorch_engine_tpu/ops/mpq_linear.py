@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..qtensor import MPQTensor
+from ..qtensor import MPQTensor, qtensor_cotangent
 from .quant import dequantize_mpq
 
 Array = jax.Array
@@ -98,18 +98,11 @@ def _mpq_bwd(res, g):
     w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
     grad_input = jnp.dot(g2d, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
-    def ct(leaf):
-        if leaf is None:
-            return None
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros_like(leaf)
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-    grad_qt = jax.tree_util.tree_map(ct, qt)
+    gw = None
     if qt.grad_shadow is not None:
         # privileged grad: full-rank fp cotangent x^T g (mpq_layer.py:116)
         gw = jnp.dot(x2d.T, g2d, preferred_element_type=jnp.float32)
-        grad_qt = grad_qt.replace(grad_shadow=gw.astype(qt.grad_shadow.dtype))
+    grad_qt = qtensor_cotangent(qt, gw)
     return grad_input.reshape(*lead, k), grad_qt
 
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..qtensor import IntQTensor
+from ..qtensor import IntQTensor, qtensor_cotangent
 
 Array = jax.Array
 
@@ -109,16 +109,7 @@ def _qat_bwd(res, g):
         g2d.T, q_a * scale, preferred_element_type=jnp.float32
     )  # (N, K)
 
-    def ct(leaf):
-        if leaf is None:
-            return None
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros_like(leaf)
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-
-    grad_qt = jax.tree_util.tree_map(ct, qt)
-    if qt.grad_shadow is not None:
-        grad_qt = grad_qt.replace(grad_shadow=grad_weight.astype(qt.grad_shadow.dtype))
+    grad_qt = qtensor_cotangent(qt, grad_weight if qt.grad_shadow is not None else None)
 
     return (
         grad_input.reshape(*lead, k).astype(x.dtype),

@@ -245,6 +245,29 @@ class BinaryEmbeddingQTensor(QTensorBase):
         return (self.data.shape[0], d)
 
 
+def qtensor_cotangent(qt: QTensorBase, grad_shadow=None) -> QTensorBase:
+    """Build the cotangent pytree for a QTensor primal.
+
+    Float leaves get symbolic zeros, integer leaves get float0 (JAX's
+    zero-size tangent dtype for non-differentiable values), and the fp weight
+    gradient — if any — rides in ``grad_shadow``.  Every quantized op's
+    ``custom_vjp`` bwd uses this.
+    """
+    import numpy as np
+
+    def ct(leaf):
+        if leaf is None:
+            return None
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    base = jax.tree_util.tree_map(ct, qt)
+    if grad_shadow is not None and qt.grad_shadow is not None:
+        base = base.replace(grad_shadow=grad_shadow.astype(qt.grad_shadow.dtype))
+    return base
+
+
 def with_grad_shadow(qt: QTensorBase) -> QTensorBase:
     """Attach a zero fp32 grad-shadow of the logical weight shape (training mode)."""
     shape = qt.logical_shape
