@@ -202,6 +202,9 @@ class ContinuousBatcher:
                 )
                 nxt = int(jnp.argmax(logits, -1)[0])
                 req.generated.append(nxt)
+                if nxt == self.eos_id or req.max_new_tokens <= 1:
+                    req.done = True
+                    continue  # slot stays free for the next request
                 self.active[s] = req
                 self.positions[s] = len(req.prompt)
                 self.cur_tok[s, 0] = nxt
@@ -249,7 +252,8 @@ class ContinuousBatcher:
         self._all = list(self.queue)
         while self.queue or any(r is not None for r in self.active):
             self._admit()
-            self.step()
+            if any(r is not None for r in self.active):
+                self.step()
             collect()
         collect()
         completed.sort(key=lambda r: r.uid)

@@ -55,3 +55,17 @@ def test_continuous_batcher_matches_sequential(tiny):
     assert len(done) == len(prompts)
     for req, ref in zip(done, refs):
         assert req.generated == ref, (req.uid, req.generated, ref)
+
+
+def test_continuous_batcher_eos_termination(tiny):
+    cfg, model, params = tiny
+    # find a token the model emits greedily, then use it as EOS
+    out = generate(model, params, jnp.asarray([[1, 2, 3]], jnp.int32), max_new_tokens=3)
+    eos = int(out[0, 3])  # first generated token
+    batcher = ContinuousBatcher(model, params, num_slots=2, max_len=32, eos_id=eos)
+    batcher.submit([1, 2, 3], max_new_tokens=10)
+    done = batcher.run()
+    assert len(done) == 1
+    # terminated at the first EOS, not the token budget
+    assert done[0].generated[-1] == eos
+    assert len(done[0].generated) < 10

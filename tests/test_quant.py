@@ -168,3 +168,19 @@ def test_decompress_gba_sym_nibble_split():
     np.testing.assert_allclose(np.asarray(scales), (0xA - 2.0) * 0.25)
     np.testing.assert_allclose(np.asarray(zeros), (0x3 - 1.0) * 0.5)
     assert scales.shape == (g, n) and zeros.shape == (g, n)
+
+
+def test_quantize_params_path_pattern():
+    """utils.convert.quantize_params converts only matching 2-D kernels."""
+    from bitorch_engine_tpu.qtensor import MPQTensor
+    from bitorch_engine_tpu.utils import quantize_params
+
+    params = {
+        "dense1": {"kernel": jnp.ones((256, 64)), "bias": jnp.zeros((64,))},
+        "norm": {"weight": jnp.ones((256,))},
+    }
+    out = quantize_params(params, strategy="4-128-256")
+    assert isinstance(out["dense1"]["kernel"], MPQTensor)
+    assert out["dense1"]["kernel"].w_bit == 4
+    assert not isinstance(out["norm"]["weight"], MPQTensor)
+    assert out["dense1"]["bias"].shape == (64,)
