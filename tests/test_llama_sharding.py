@@ -44,3 +44,34 @@ def test_tp_forward_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4
     )
+
+
+def test_tp_decode_with_sharded_caches(setup):
+    """Decode with tp-sharded params and dp/tp-sharded KV caches matches the
+    single-device decode step."""
+    from jax.sharding import NamedSharding
+    from bitorch_engine_tpu.models.llama import decode_step, init_kv_caches, prefill
+    from bitorch_engine_tpu.models.llama_sharding import kv_cache_shardings
+
+    cfg, model, tokens, params = setup
+    caches = init_kv_caches(cfg, batch=2, max_len=16)
+    ref_logits, ref_caches = prefill(model, params, tokens[:, :4], caches)
+    ref_step, _ = decode_step(
+        model, params, tokens[:, 4:5], ref_caches, jnp.asarray(4, jnp.int32)
+    )
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sharded_params = shard_llama_params(params, mesh)
+    cache_sh = kv_cache_shardings(mesh, cfg.num_layers)
+    sharded_caches = [
+        (jax.device_put(k, sk), jax.device_put(v, sv))
+        for (k, v), (sk, sv) in zip(init_kv_caches(cfg, 2, 16), cache_sh)
+    ]
+    with mesh:
+        plogits, scaches = prefill(model, sharded_params, tokens[:, :4], sharded_caches)
+        step_logits, _ = decode_step(
+            model, sharded_params, tokens[:, 4:5], scaches, jnp.asarray(4, jnp.int32)
+        )
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(ref_step), rtol=5e-4, atol=5e-4
+    )
