@@ -5,4 +5,5 @@ from .convert import (  # noqa: F401
     prepare_for_inference,
     prepare_for_training,
     quantize_params,
+    relayout_params_for_tpu,
 )

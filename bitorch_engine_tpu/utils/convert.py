@@ -94,6 +94,31 @@ def prepare_for_training(params):
     )
 
 
+def relayout_params_for_tpu(params):
+    """Convert every MPQ/MBWQ tensor to the Pallas kernel's tpu_tiled layout.
+
+    MUST run once at load/prepare time (the analogue of the reference's
+    ``prepare_params``): the kernel auto-relayouts gptq-layout tensors for
+    correctness, but inside a jitted step that conversion re-executes every
+    call — on a 7B model that is ~10 GB of extra traffic per decoded token.
+    """
+    from ..ops.pallas.dequant_matmul import relayout_tpu
+    from ..qtensor import MBWQTensor, MPQTensor
+
+    def f(leaf):
+        if isinstance(leaf, MPQTensor):
+            return relayout_tpu(leaf)
+        if isinstance(leaf, MBWQTensor):
+            return leaf.replace(
+                segments=tuple(relayout_tpu(s) for s in leaf.segments)
+            )
+        return leaf
+
+    return jax.tree_util.tree_map(
+        f, params, is_leaf=lambda x: isinstance(x, QTensorBase)
+    )
+
+
 def prepare_for_inference(params):
     """Drop grad shadows and pack binary weights (reference ``pack_bie_layers``)."""
     from ..qtensor import BinaryQTensor
