@@ -187,3 +187,34 @@ def test_quantized_embed_close_to_fp():
     p2 = jax.nn.softmax(l2, -1)
     tv = 0.5 * float(jnp.abs(p1 - p2).sum(-1).mean())
     assert tv < 0.1, tv
+
+
+def test_relayout_params_preserves_numerics(tiny_model):
+    """tpu_tiled relayout of a whole params tree changes nothing numerically."""
+    from bitorch_engine_tpu.utils import relayout_params_for_tpu
+
+    cfg, model, params = tiny_model
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (1, 8), 0, cfg.vocab_size)
+    ref, _ = model.apply(params, tokens)
+    rl = relayout_params_for_tpu(params)
+    qt = rl["params"]["layer_0"]["attn"]["q_proj"]["qweight"]
+    assert qt.layout == "tpu_tiled"
+    out, _ = model.apply(rl, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_relayout_params_mbwq():
+    from bitorch_engine_tpu.utils import relayout_params_for_tpu
+
+    cfg = tiny_llama(
+        dtype=jnp.float32, mbwq_strategy=((4, 0.5), (2, 0.5)), group_size=32
+    )
+    model = LlamaModel(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+    ref, _ = model.apply(params, tokens)
+    rl = relayout_params_for_tpu(params)
+    seg = rl["params"]["layer_0"]["attn"]["q_proj"]["qweight"].segments[0]
+    assert seg.layout == "tpu_tiled"
+    out, _ = model.apply(rl, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
