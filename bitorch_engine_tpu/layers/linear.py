@@ -17,7 +17,7 @@ TPU-native module layer mirroring the reference's L3
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ including random-weight CI models where only the Δ is meaningful.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

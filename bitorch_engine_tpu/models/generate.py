@@ -19,13 +19,13 @@ Design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .llama import LlamaConfig, LlamaModel, init_kv_caches
+from .llama import LlamaModel, init_kv_caches
 
 Array = jax.Array
 

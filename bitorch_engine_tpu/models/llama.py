@@ -26,7 +26,6 @@ from flax import linen as nn
 from flax import struct
 
 from ..layers.linear import MPQLinear
-from ..qtensor import MPQTensor
 
 Array = jax.Array
 

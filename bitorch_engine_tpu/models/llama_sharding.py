@@ -16,7 +16,6 @@ For MPQ tensors the row-parallel K sharding lands on whole quant groups
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -29,7 +29,6 @@ The weight gradient is delivered through ``BinaryQTensor.grad_shadow``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ int conv kernel on TPU.  STE backward math mirrors the linear layers.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Strategy format parity (``test_nbit_linear_mixbits.py:26-29``):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 from jax import lax
 
 from ..qtensor import MBWQTensor, MPQTensor, qtensor_cotangent
-from . import packing
 from .quant import dequantize_mpq, quantize_mpq
 
 Array = jax.Array

@@ -26,7 +26,6 @@ TPU-native re-design of the reference's MPQ stack
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ reference's ``prepare_params``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ packed payloads bit-exactly).
 
 from __future__ import annotations
 
-import math
 from typing import Any, NamedTuple, Optional
 
 import jax

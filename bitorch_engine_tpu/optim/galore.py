@@ -13,7 +13,6 @@ refresh is a ``lax.cond`` so the step stays a single compiled function.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Causal masking uses absolute positions, so rotation order doesn't matter.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

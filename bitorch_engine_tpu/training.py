@@ -9,7 +9,6 @@ allowed — QTensor payloads get float0 cotangents, real gradients ride in
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

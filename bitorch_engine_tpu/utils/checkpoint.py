@@ -14,9 +14,8 @@ JSON-able spec so checkpoints restore without a template model when needed.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from .convert import prepare_for_inference

@@ -13,10 +13,9 @@ pattern in SNIPPETS.md's sharding_map).
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import quant
 from ..qtensor import QTensorBase, qtensor_leaves, with_grad_shadow, without_grad_shadow
