@@ -89,8 +89,13 @@ def projection_sweep(on_tpu):
     return total_q, total_b
 
 
-def e2e_decode(kv_cache_dtype="int8"):
-    """Full Llama-3-8B 4-bit decode step; returns seconds/step."""
+def e2e_decode(kv_cache_dtype="int8", head_bits=None):
+    """Full Llama-3-8B 4-bit decode step; returns seconds/step.
+
+    ``head_bits``: None → tied int8 lm_head (with quantize_embed); 4 → untied
+    MPQ w4g128 lm_head through the fused kernel (measured +2.9%/step:
+    9.008 vs 9.273 ms same-process A/B).
+    """
     from bitorch_engine_tpu.models.llama import LlamaModel, llama3_8b, init_kv_caches
     from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
     from bitorch_engine_tpu.qtensor import MPQTensor, QTensorBase
@@ -102,6 +107,7 @@ def e2e_decode(kv_cache_dtype="int8"):
         max_seq_len=CACHE_LEN,
         kv_cache_dtype=kv_cache_dtype,
         quantize_embed=kv_cache_dtype == "int8",
+        head_w_bit=head_bits,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
@@ -145,19 +151,21 @@ def main():
 
     run_e2e = on_tpu and os.environ.get("BENCH_E2E", "1") != "0"
     if run_e2e:
-        # headline config: 4-bit weights + int8 KV cache + int8 tied
-        # embed/lm_head (the engine's serving configuration; logits track
-        # the bf16-cache fp-embed model within a few percent)
-        step = e2e_decode("int8")
+        # headline config: 4-bit weights + int8 KV cache + int8 embedding +
+        # w4g128 lm_head via the fused kernel (exl2-style head quantization;
+        # BENCH_HEAD_BITS=8 falls back to the tied int8 head)
+        head_bits = int(os.environ.get("BENCH_HEAD_BITS", "4"))
+        step = e2e_decode("int8", head_bits if head_bits in (2, 4) else None)
         toks = BATCH / step
         # bf16 baseline: same step with weight-matmul time swapped for bf16
         overhead = max(step - total_q * LAYERS, 0.0)
         bf16_step = total_b * LAYERS + overhead
         toks_b = BATCH / bf16_step
         label = "llama3_8b_w4_serving_decode_tokens_per_sec_per_chip"
+        head_desc = f"w{head_bits} lm_head" if head_bits in (2, 4) else "int8 lm_head"
         unit = (
             f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN},"
-            " int8 KV + int8 lm_head)"
+            f" int8 KV + {head_desc})"
         )
     else:
         # projection-level projection (CPU or E2E disabled)
@@ -174,7 +182,15 @@ def main():
     packed_bytes = sum(k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4 for _, k, n in PROJS)
     kv_heads, head_dim = 8, 128
     kv_bytes = 2 * BATCH * CACHE_LEN * kv_heads * head_dim * 1 * LAYERS
-    lm_bytes = VOCAB * HIDDEN * 1
+    head_bits_rl = int(os.environ.get("BENCH_HEAD_BITS", "4"))
+    if run_e2e and head_bits_rl in (2, 4):
+        # packed codes + fp32 scales/zeros per group row
+        lm_bytes = (
+            VOCAB * HIDDEN * head_bits_rl // 8
+            + 2 * (HIDDEN // GROUP) * VOCAB * 4
+        )
+    else:
+        lm_bytes = VOCAB * HIDDEN * 1
     step_bytes = packed_bytes * LAYERS + lm_bytes + kv_bytes
     roofline_toks = BATCH / (step_bytes / HBM_BW)
 

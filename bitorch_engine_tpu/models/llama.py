@@ -62,6 +62,11 @@ class LlamaConfig:
     # the logits matmul; per-row scales factor out of the hidden contraction
     # (logits[v] = s_v * (x @ E8_v)), halving that stream.
     quantize_embed: bool = struct.field(pytree_node=False, default=False)
+    # Untied group-quantized lm_head (exl2-style head quantization): when set
+    # (e.g. 4), the logits matmul runs through the fused MPQ kernel instead
+    # of the tied int8/bf16 embedding table, reading w_bit/8 of the int8
+    # bytes.  Embedding lookup stays on the (int8 or bf16) table.
+    head_w_bit: Optional[int] = struct.field(pytree_node=False, default=None)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -402,7 +407,15 @@ class LlamaModel(nn.Module):
             new_caches.append(nc)
 
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="final_norm")(x)
-        if cfg.quantize_embed:
+        if cfg.head_w_bit is not None:
+            logits = MPQLinear(
+                out_features=cfg.vocab_size,
+                w_bit=cfg.head_w_bit,
+                group_size=128,
+                dtype=cfg.dtype,
+                name="lm_head",
+            )(x).astype(jnp.float32)
+        elif cfg.quantize_embed:
             # per-row scale factors out of the hidden contraction
             logits = (
                 jnp.dot(

@@ -26,6 +26,8 @@ LLAMA_RULES = {
     r"(q|k|v)_proj": "column",
     r"(gate|up)_proj": "column",
     r"(o|down)_proj": "row",
+    # vocab-dim (output-features) sharding: each shard owns a logits slice
+    r"lm_head": "column",
     r"embed": "replicated",
 }
 

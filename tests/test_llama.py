@@ -218,3 +218,31 @@ def test_relayout_params_mbwq():
     assert seg.layout == "tpu_tiled"
     out, _ = model.apply(rl, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_w4_lm_head_decode():
+    """head_w_bit=4: untied MPQ lm_head — logits match the dequantized head."""
+    from bitorch_engine_tpu.ops import quant
+
+    cfg = tiny_llama(dtype=jnp.float32, head_w_bit=4, quantize_embed=True)
+    model = LlamaModel(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 4), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+    logits, _ = model.apply(params, tokens)
+    assert logits.shape == (2, 4, cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # the untied head is a real MPQTensor in the tree (relayout/sharding see it)
+    qt = params["params"]["lm_head"]["qweight"]
+    assert quant.dequantize_mpq(qt, dtype=jnp.float32).shape == (
+        cfg.hidden_size,
+        cfg.vocab_size,
+    )
+    # cached prefill must agree with the cache-free forward
+    caches = init_kv_caches(cfg, 2, 16)
+    pre_logits, caches = model.apply(
+        params, tokens, positions=None, kv_caches=caches, cache_len=jnp.asarray(0, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(logits), rtol=2e-4, atol=2e-4
+    )
