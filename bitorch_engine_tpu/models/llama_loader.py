@@ -11,7 +11,9 @@ Name mapping (HF → engine):
     model.layers.{i}.input_layernorm.weight      → params/layer_{i}/input_norm/weight
     model.layers.{i}.post_attention_layernorm    → params/layer_{i}/post_attn_norm/weight
     model.norm.weight                            → params/final_norm/weight
-(lm_head is tied to embed in this engine's LlamaModel.)
+    lm_head.weight (if cfg.head_w_bit)           → params/lm_head/qweight (MPQ)
+Otherwise lm_head ties to the embed table (int8 per-row when
+``cfg.quantize_embed``).
 """
 
 from __future__ import annotations
@@ -100,7 +102,28 @@ def load_llama_params(
     embed = tensors.get("model.embed_tokens.weight")
     if embed is None:
         raise ValueError("missing model.embed_tokens.weight")
-    out["embed"] = jnp.asarray(np.asarray(embed), dtype)
+    embed = np.asarray(embed, np.float32)
+    if cfg.quantize_embed:
+        # per-row int8 table matching LlamaModel's quantize_embed params
+        scale = np.maximum(np.max(np.abs(embed), axis=1), 1e-6) / 127.0
+        q = np.clip(np.round(embed / scale[:, None]), -127, 127).astype(np.int8)
+        out["embed"] = {
+            "data": jnp.asarray(q),
+            "scale": jnp.asarray(scale, jnp.float32),
+        }
+    else:
+        out["embed"] = jnp.asarray(embed, dtype)
+    if cfg.head_w_bit is not None:
+        # untied head: HF ``lm_head.weight`` (vocab, hidden); llama3 unties it,
+        # tied checkpoints fall back to the embedding table
+        head = tensors.get("lm_head.weight")
+        head = embed if head is None else np.asarray(head, np.float32)
+        out["lm_head"] = {
+            "qweight": quantize_mpq(
+                jnp.asarray(head.T), w_bit=cfg.head_w_bit, group_size=128,
+                asym=False,
+            )
+        }
     norm = tensors.get("model.norm.weight")
     out["final_norm"] = {
         "weight": jnp.asarray(np.asarray(norm, np.float32))

@@ -32,6 +32,15 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=16)
     p.add_argument("--demo", action="store_true", help="tiny random model demo")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--config", default="tiny", choices=("tiny", "llama2-7b", "llama3-8b"),
+        help="model architecture the checkpoint matches",
+    )
+    p.add_argument("--head-bits", type=int, default=0,
+                   help="untie lm_head at this bit width (0 = tied)")
+    p.add_argument("--int8-embed", action="store_true",
+                   help="int8 per-row embedding (+tied head)")
+    p.add_argument("--int8-kv", action="store_true", help="int8 KV cache")
     args = p.parse_args()
 
     import jax
@@ -59,14 +68,32 @@ def main():
         print("generated ids:", out[0].tolist())
         return
 
-    # real-checkpoint path
-    from bitorch_engine_tpu.utils import ingest
+    # real-checkpoint path: HF-layout safetensors → quantized params → generate
+    if not args.checkpoint:
+        raise SystemExit("need --checkpoint FILE or --demo")
+    from bitorch_engine_tpu.models.llama import llama2_7b
+    from bitorch_engine_tpu.models.llama_loader import load_llama_from_safetensors
+    from bitorch_engine_tpu.utils.convert import get_mpq_config
+    from bitorch_engine_tpu.utils import relayout_params_for_tpu
 
-    raise SystemExit(
-        "Full-checkpoint loading requires a local safetensors file; see "
-        "bitorch_engine_tpu.utils.ingest (mpq_from_gptq / mpq_from_gba / "
-        "mbwq_from_exl2) and tools/cli.py quantize for the conversion step."
+    mpq = get_mpq_config(args.strategy)
+    mk = {"tiny": tiny_llama, "llama2-7b": llama2_7b, "llama3-8b": llama3_8b}[
+        args.config
+    ]
+    cfg = mk(
+        w_bit=mpq["w_bit"],
+        group_size=mpq["group_size"],
+        quantize_embed=args.int8_embed,
+        head_w_bit=args.head_bits or None,
+        kv_cache_dtype="int8" if args.int8_kv else "bf16",
+        dtype=jnp.float32 if args.cpu else jnp.bfloat16,
     )
+    model = LlamaModel(cfg)
+    params = load_llama_from_safetensors(args.checkpoint, cfg, cfg.dtype)
+    params = relayout_params_for_tpu(params)  # kernel-ready layouts, once
+    prompt = jnp.asarray([[int(t) for t in args.prompt_ids.split(",")]], jnp.int32)
+    out = generate(model, params, prompt, max_new_tokens=args.max_new_tokens)
+    print("generated ids:", out[0].tolist())
 
 
 if __name__ == "__main__":

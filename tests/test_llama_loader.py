@@ -75,3 +75,44 @@ def test_load_gptq_checkpoint_matches_fp_quantization():
     w_a = quant.dequantize_mpq(loaded, jnp.float32)
     w_b = quant.dequantize_mpq(qt, jnp.float32)
     np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+
+
+def test_load_with_quantized_embed_and_w4_head():
+    """Loader emits the int8 embed dict + untied MPQ head matching model.init."""
+    cfg = tiny_llama(dtype=jnp.float32, quantize_embed=True, head_w_bit=4)
+    tensors = _hf_fp_tensors(cfg)
+    # llama3-style untied head
+    rng = np.random.default_rng(9)
+    tensors["lm_head.weight"] = (
+        rng.standard_normal((cfg.vocab_size, cfg.hidden_size)).astype(np.float32) * 0.02
+    )
+    params = load_llama_params(tensors, cfg, dtype=jnp.float32)
+    model = LlamaModel(cfg)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    assert str(jax.tree_util.tree_structure(params)) == str(
+        jax.tree_util.tree_structure(ref)
+    )
+    logits, _ = model.apply(params, jnp.asarray([[1, 2, 3, 4]], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+    # head really came from lm_head.weight (w4 dequant tracks the fp weight)
+    deq = quant.dequantize_mpq(
+        params["params"]["lm_head"]["qweight"], dtype=jnp.float32
+    )
+    ref_w = tensors["lm_head.weight"].T
+    assert float(np.mean(np.abs(np.asarray(deq) - ref_w))) < 0.01 * float(
+        np.mean(np.abs(ref_w))
+    ) + 0.01
+
+
+def test_load_tied_head_fallback():
+    """No lm_head.weight in the checkpoint → head quantized from embed."""
+    cfg = tiny_llama(dtype=jnp.float32, quantize_embed=True, head_w_bit=4)
+    tensors = _hf_fp_tensors(cfg)
+    params = load_llama_params(tensors, cfg, dtype=jnp.float32)
+    deq = quant.dequantize_mpq(
+        params["params"]["lm_head"]["qweight"], dtype=jnp.float32
+    )
+    tied = tensors["model.embed_tokens.weight"].T
+    # RTN w4g128 keeps the head within quantization error of the tied table
+    err = float(np.mean(np.abs(np.asarray(deq) - tied)))
+    assert err < 0.05 * float(np.mean(np.abs(tied))) + 0.05
