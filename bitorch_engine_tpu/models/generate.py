@@ -161,25 +161,30 @@ class ContinuousBatcher:
 
         @jax.jit
         def _prefill_slot(params, caches, tokens, slot):
-            """Prefill one slot's cache with a (1, plen) prompt."""
+            """Prefill one slot's cache with a (1, plen) prompt.
+
+            Cache-structure-agnostic: each per-layer cache is a tuple of
+            arrays with the slot (batch) dim first — (k, v) for bf16,
+            (k8, k_scales, v8, v_scales) for int8.
+            """
             logits, slot_caches = model_.apply(
                 params,
                 tokens,
                 kv_caches=[
-                    (
-                        jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0),
-                        jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0),
+                    tuple(
+                        jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+                        for a in layer
                     )
-                    for (k, v) in caches
+                    for layer in caches
                 ],
                 cache_len=jnp.zeros((), jnp.int32),
             )
             new_caches = [
-                (
-                    jax.lax.dynamic_update_slice_in_dim(k, sk, slot, axis=0),
-                    jax.lax.dynamic_update_slice_in_dim(v, sv, slot, axis=0),
+                tuple(
+                    jax.lax.dynamic_update_slice_in_dim(a, sa, slot, axis=0)
+                    for a, sa in zip(layer, slayer)
                 )
-                for (k, v), (sk, sv) in zip(caches, slot_caches)
+                for layer, slayer in zip(caches, slot_caches)
             ]
             return logits[:, -1], new_caches
 

@@ -69,3 +69,32 @@ def test_continuous_batcher_eos_termination(tiny):
     # terminated at the first EOS, not the token budget
     assert done[0].generated[-1] == eos
     assert len(done[0].generated) < 10
+
+
+def test_continuous_batcher_int8_kv_and_w4_head():
+    """Batcher must work with the serving config's int8 KV caches (4-tuple
+    per-layer caches) and the untied w4 head — regression: _prefill_slot once
+    assumed bf16 (k, v) pairs."""
+    from bitorch_engine_tpu.models.llama import LlamaModel, tiny_llama
+
+    cfg = tiny_llama(
+        dtype=jnp.float32, kv_cache_dtype="int8", quantize_embed=True, head_w_bit=4
+    )
+    model = LlamaModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).tolist() for l in (4, 6, 3)]
+    n_new = 4
+
+    refs = []
+    for p in prompts:
+        out = generate(model, params, jnp.asarray([p], jnp.int32), max_new_tokens=n_new)
+        refs.append(np.asarray(out[0, len(p):]).tolist())
+
+    batcher = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    for p in prompts:
+        batcher.submit(p, max_new_tokens=n_new)
+    done = batcher.run()
+    assert len(done) == len(prompts)
+    for req, ref in zip(done, refs):
+        assert req.generated == ref, (req.uid, req.generated, ref)
