@@ -19,6 +19,7 @@ Design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -123,7 +124,13 @@ class ContinuousBatcher:
         max_len: int = 512,
         eos_id: int = -1,
         temperature: float = 0.0,
+        decode_chunk: int = 1,
     ):
+        """``decode_chunk``: decode T tokens per host sync (one ``lax.scan``
+        on device).  T>1 amortizes dispatch/fetch latency — essential for
+        high-RTT links, and still saves ~T× host overhead locally — at the
+        cost of up to T-1 wasted slot-steps after a mid-chunk EOS (the slot
+        is re-prefilled on the next admit, so correctness is unaffected)."""
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -131,6 +138,7 @@ class ContinuousBatcher:
         self.max_len = max_len
         self.eos_id = eos_id
         self.temperature = temperature
+        self.decode_chunk = max(1, int(decode_chunk))
         self.caches = init_kv_caches(self.cfg, num_slots, max_len)
         self.positions = np.zeros(num_slots, np.int32)  # next cache position
         self.active: List[Optional[Request]] = [None] * num_slots
@@ -158,6 +166,37 @@ class ContinuousBatcher:
 
         self._decode = _decode
         self._key = jax.random.PRNGKey(0)
+        max_len_ = max_len
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def _decode_chunk(params, toks, caches, positions, active_mask, key, n_steps):
+            """n_steps greedy/sampled decode steps in ONE device dispatch."""
+
+            def body(carry, _):
+                toks, caches, positions, key = carry
+                logits, caches = model_.apply(
+                    params,
+                    toks,
+                    positions=positions[:, None],
+                    kv_caches=caches,
+                    cache_len=positions,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample_token(logits[:, -1], sub, temperature)
+                nxt = jnp.where(active_mask, nxt, 0)
+                positions = jnp.where(
+                    active_mask,
+                    jnp.minimum(positions + 1, max_len_ - 1),
+                    positions,
+                )
+                return (nxt[:, None], caches, positions, key), nxt
+
+            (toks, caches, positions, key), toks_seq = jax.lax.scan(
+                body, (toks, caches, positions, key), None, length=n_steps
+            )
+            return toks_seq, caches, positions, key
+
+        self._decode_chunk = _decode_chunk
 
         @jax.jit
         def _prefill_slot(params, caches, tokens, slot):
@@ -244,6 +283,42 @@ class ContinuousBatcher:
                 self.active[s] = None
                 self.positions[s] = 0
 
+    def step_chunk(self, n_steps: int):
+        """``n_steps`` decode steps in one device dispatch (lax.scan), then
+        one host sync to reconcile EOS / quotas / evictions."""
+        active_mask = jnp.asarray([r is not None for r in self.active], jnp.bool_)
+        toks_seq, self.caches, _, self._key = self._decode_chunk(
+            self.params,
+            jnp.asarray(self.cur_tok),
+            self.caches,
+            jnp.asarray(self.positions),
+            active_mask,
+            self._key,
+            n_steps=n_steps,
+        )
+        toks_np = np.asarray(toks_seq)  # (n_steps, slots)
+        for s, req in enumerate(self.active):
+            if req is None:
+                continue
+            for t in range(n_steps):
+                tok = int(toks_np[t, s])
+                req.generated.append(tok)
+                self.positions[s] = min(self.positions[s] + 1, self.max_len - 1)
+                if (
+                    tok == self.eos_id
+                    or len(req.generated) >= req.max_new_tokens
+                    or self.positions[s] >= self.max_len - 1
+                ):
+                    # mid-chunk termination: remaining chunk tokens for this
+                    # slot are discarded; the slot's cache is re-prefilled on
+                    # the next admit, so the garbage continuation is inert
+                    req.done = True
+                    self.active[s] = None
+                    self.positions[s] = 0
+                    break
+            else:
+                self.cur_tok[s, 0] = int(toks_np[n_steps - 1, s])
+
     def run(self) -> List[Request]:
         """Drain the queue; returns all completed requests (in submit order)."""
         completed: List[Request] = []
@@ -258,7 +333,13 @@ class ContinuousBatcher:
         while self.queue or any(r is not None for r in self.active):
             self._admit()
             if any(r is not None for r in self.active):
-                self.step()
+                if self.decode_chunk > 1:
+                    # fixed chunk length: n_steps is a static jit arg, so a
+                    # varying tail size would recompile the whole scan graph.
+                    # Overshoot past a quota is discarded host-side.
+                    self.step_chunk(self.decode_chunk)
+                else:
+                    self.step()
             collect()
         collect()
         completed.sort(key=lambda r: r.uid)

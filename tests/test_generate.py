@@ -98,3 +98,50 @@ def test_continuous_batcher_int8_kv_and_w4_head():
     assert len(done) == len(prompts)
     for req, ref in zip(done, refs):
         assert req.generated == ref, (req.uid, req.generated, ref)
+
+
+def test_continuous_batcher_chunked_matches_unchunked(tiny):
+    """decode_chunk>1 must produce identical greedy tokens (scan vs step)."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).tolist() for l in (4, 6, 3, 5)]
+    n_new = 7  # not a multiple of the chunk → exercises quota overshoot
+
+    ref = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    for p in prompts:
+        ref.submit(p, max_new_tokens=n_new)
+    ref_done = {r.uid: r.generated for r in ref.run()}
+
+    chk = ContinuousBatcher(model, params, num_slots=2, max_len=32, decode_chunk=4)
+    for p in prompts:
+        chk.submit(p, max_new_tokens=n_new)
+    chk_done = {r.uid: r.generated for r in chk.run()}
+
+    assert ref_done == chk_done
+
+
+def test_continuous_batcher_chunked_eos_and_int8(tiny):
+    """Mid-chunk EOS terminates the request at the right token with int8 KV."""
+    from bitorch_engine_tpu.models.llama import LlamaModel, tiny_llama
+
+    cfg = tiny_llama(dtype=jnp.float32, kv_cache_dtype="int8", quantize_embed=True)
+    model = LlamaModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).tolist() for l in (4, 5, 3)]
+
+    ref = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    for p in prompts:
+        ref.submit(p, max_new_tokens=6)
+    eos = ref.run()[0].generated[2]  # pick a token the first request emits
+
+    a = ContinuousBatcher(model, params, num_slots=2, max_len=32, eos_id=eos)
+    b = ContinuousBatcher(
+        model, params, num_slots=2, max_len=32, eos_id=eos, decode_chunk=4
+    )
+    for p in prompts:
+        a.submit(p, max_new_tokens=6)
+        b.submit(p, max_new_tokens=6)
+    ra = {r.uid: r.generated for r in a.run()}
+    rb = {r.uid: r.generated for r in b.run()}
+    assert ra == rb
