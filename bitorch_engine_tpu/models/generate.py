@@ -199,12 +199,18 @@ class ContinuousBatcher:
         self._decode_chunk = _decode_chunk
 
         @jax.jit
-        def _prefill_slot(params, caches, tokens, slot):
-            """Prefill one slot's cache with a (1, plen) prompt.
+        def _prefill_slot(params, caches, tokens, slot, true_len):
+            """Prefill one slot's cache with a (1, plen_padded) prompt.
 
             Cache-structure-agnostic: each per-layer cache is a tuple of
             arrays with the slot (batch) dim first — (k, v) for bf16,
             (k8, k_scales, v8, v_scales) for int8.
+
+            ``tokens`` is padded to a length bucket so each bucket compiles
+            once (not one graph per prompt length); ``true_len`` picks the
+            real last-token logits.  Pad rows DO write garbage K/V at cache
+            positions ≥ true_len, but decode overwrites position p before
+            attending it (causal mask is ``≤ cache_len``), so pads are inert.
             """
             logits, slot_caches = model_.apply(
                 params,
@@ -225,7 +231,8 @@ class ContinuousBatcher:
                 )
                 for layer, slayer in zip(caches, slot_caches)
             ]
-            return logits[:, -1], new_caches
+            last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
+            return last[:, 0], new_caches
 
         self._prefill_slot = _prefill_slot
 
@@ -240,9 +247,25 @@ class ContinuousBatcher:
         for s in range(self.num_slots):
             if self.active[s] is None and self.queue:
                 req = self.queue.pop(0)
-                tokens = jnp.asarray(req.prompt[None, :])
+                plen = len(req.prompt)
+                if plen >= self.max_len:
+                    raise ValueError(
+                        f"prompt length {plen} >= max_len {self.max_len}"
+                    )
+                # pad to a power-of-2 bucket (min 8, capped at max_len-1) so
+                # prefill compiles once per bucket, not once per length
+                bucket = 8
+                while bucket < plen:
+                    bucket *= 2
+                bucket = min(bucket, self.max_len - 1)
+                padded = np.zeros(bucket, np.int32)
+                padded[:plen] = req.prompt
                 logits, self.caches = self._prefill_slot(
-                    self.params, self.caches, tokens, s
+                    self.params,
+                    self.caches,
+                    jnp.asarray(padded[None, :]),
+                    s,
+                    jnp.asarray(plen, jnp.int32),
                 )
                 nxt = int(jnp.argmax(logits, -1)[0])
                 req.generated.append(nxt)

@@ -145,3 +145,36 @@ def test_continuous_batcher_chunked_eos_and_int8(tiny):
     ra = {r.uid: r.generated for r in a.run()}
     rb = {r.uid: r.generated for r in b.run()}
     assert ra == rb
+
+
+def test_continuous_batcher_bucketed_prefill_compile_count(tiny):
+    """Prompt lengths 3..6 share the 8-bucket: one prefill compile, and
+    outputs identical to per-length prefill (pads are inert)."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).tolist() for l in (3, 4, 5, 6)]
+
+    refs = []
+    for p in prompts:
+        out = generate(model, params, jnp.asarray([p], jnp.int32), max_new_tokens=4)
+        refs.append(np.asarray(out[0, len(p):]).tolist())
+
+    b = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    for p in prompts:
+        b.submit(p, max_new_tokens=4)
+    done = b.run()
+    for req, ref in zip(done, refs):
+        assert req.generated == ref, (req.uid, req.generated, ref)
+    # all four lengths land in the same (1, 8) padded shape → 1 compile
+    n_compiles = b._prefill_slot._cache_size()
+    assert n_compiles == 1, n_compiles
+
+
+def test_continuous_batcher_prompt_too_long(tiny):
+    cfg, model, params = tiny
+    b = ContinuousBatcher(model, params, num_slots=1, max_len=8)
+    b.submit(list(range(1, 10)), max_new_tokens=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_len"):
+        b.run()
