@@ -198,43 +198,36 @@ class ContinuousBatcher:
 
         self._decode_chunk = _decode_chunk
 
+
         @jax.jit
-        def _prefill_slot(params, caches, tokens, slot, true_len):
-            """Prefill one slot's cache with a (1, plen_padded) prompt.
+        def _prefill_slots(params, caches, tokens, slots, true_lens):
+            """Prefill n slots in ONE dispatch: ``tokens`` (n, bucket),
+            ``slots`` (n,) distinct slot indices, ``true_lens`` (n,).
 
-            Cache-structure-agnostic: each per-layer cache is a tuple of
-            arrays with the slot (batch) dim first — (k, v) for bf16,
-            (k8, k_scales, v8, v_scales) for int8.
-
-            ``tokens`` is padded to a length bucket so each bucket compiles
-            once (not one graph per prompt length); ``true_len`` picks the
-            real last-token logits.  Pad rows DO write garbage K/V at cache
-            positions ≥ true_len, but decode overwrites position p before
-            attending it (causal mask is ``≤ cache_len``), so pads are inert.
+            The n requests run as one batched forward; per-slot caches are
+            gathered with ``take`` and scattered back with ``.at[slots]``.
             """
             logits, slot_caches = model_.apply(
                 params,
                 tokens,
                 kv_caches=[
-                    tuple(
-                        jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
-                        for a in layer
-                    )
+                    tuple(jnp.take(a, slots, axis=0) for a in layer)
                     for layer in caches
                 ],
                 cache_len=jnp.zeros((), jnp.int32),
             )
             new_caches = [
                 tuple(
-                    jax.lax.dynamic_update_slice_in_dim(a, sa, slot, axis=0)
-                    for a, sa in zip(layer, slayer)
+                    a.at[slots].set(sa) for a, sa in zip(layer, slayer)
                 )
                 for layer, slayer in zip(caches, slot_caches)
             ]
-            last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
-            return last[:, 0], new_caches
+            last = jnp.take_along_axis(
+                logits, (true_lens - 1)[:, None, None], axis=1
+            )[:, 0]
+            return last, new_caches
 
-        self._prefill_slot = _prefill_slot
+        self._prefill_slots = _prefill_slots
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
         self._uid += 1
@@ -243,35 +236,49 @@ class ContinuousBatcher:
         )
         return self._uid
 
+    def _bucket(self, plen: int) -> int:
+        """Power-of-2 length bucket (min 8, capped below max_len): each
+        bucket compiles one prefill graph instead of one per prompt length."""
+        if plen >= self.max_len:
+            raise ValueError(f"prompt length {plen} >= max_len {self.max_len}")
+        bucket = 8
+        while bucket < plen:
+            bucket *= 2
+        return min(bucket, self.max_len - 1)
+
     def _admit(self):
-        for s in range(self.num_slots):
-            if self.active[s] is None and self.queue:
-                req = self.queue.pop(0)
-                plen = len(req.prompt)
-                if plen >= self.max_len:
-                    raise ValueError(
-                        f"prompt length {plen} >= max_len {self.max_len}"
-                    )
-                # pad to a power-of-2 bucket (min 8, capped at max_len-1) so
-                # prefill compiles once per bucket, not once per length
-                bucket = 8
-                while bucket < plen:
-                    bucket *= 2
-                bucket = min(bucket, self.max_len - 1)
-                padded = np.zeros(bucket, np.int32)
-                padded[:plen] = req.prompt
-                logits, self.caches = self._prefill_slot(
-                    self.params,
-                    self.caches,
-                    jnp.asarray(padded[None, :]),
-                    s,
-                    jnp.asarray(plen, jnp.int32),
-                )
-                nxt = int(jnp.argmax(logits, -1)[0])
+        """Fill free slots from the queue.  The FIFO prefix sharing one
+        length-bucket is prefilled in a single batched dispatch (the host
+        sync per prefill dominates serving cost on high-latency links)."""
+        while self.queue and any(r is None for r in self.active):
+            free = [s for s in range(self.num_slots) if self.active[s] is None]
+            bucket = self._bucket(len(self.queue[0].prompt))
+            batch: List[Request] = []
+            while (
+                self.queue
+                and len(batch) < len(free)
+                and self._bucket(len(self.queue[0].prompt)) == bucket
+            ):
+                batch.append(self.queue.pop(0))
+            slots = free[: len(batch)]
+            padded = np.zeros((len(batch), bucket), np.int32)
+            for i, req in enumerate(batch):
+                padded[i, : len(req.prompt)] = req.prompt
+            true_lens = np.asarray([len(r.prompt) for r in batch], np.int32)
+            logits, self.caches = self._prefill_slots(
+                self.params,
+                self.caches,
+                jnp.asarray(padded),
+                jnp.asarray(slots, jnp.int32),
+                jnp.asarray(true_lens),
+            )
+            nxt_np = np.asarray(jnp.argmax(logits, -1))
+            for i, (s, req) in enumerate(zip(slots, batch)):
+                nxt = int(nxt_np[i])
                 req.generated.append(nxt)
                 if nxt == self.eos_id or req.max_new_tokens <= 1:
                     req.done = True
-                    continue  # slot stays free for the next request
+                    continue  # slot stays free for the next admit round
                 self.active[s] = req
                 self.positions[s] = len(req.prompt)
                 self.cur_tok[s, 0] = nxt

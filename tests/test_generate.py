@@ -165,9 +165,10 @@ def test_continuous_batcher_bucketed_prefill_compile_count(tiny):
     done = b.run()
     for req, ref in zip(done, refs):
         assert req.generated == ref, (req.uid, req.generated, ref)
-    # all four lengths land in the same (1, 8) padded shape → 1 compile
-    n_compiles = b._prefill_slot._cache_size()
-    assert n_compiles == 1, n_compiles
+    # all four lengths land in the same 8-bucket; admitted as one batched
+    # prefill shape per (n, bucket) pair
+    n_compiles = b._prefill_slots._cache_size()
+    assert n_compiles <= 2, n_compiles
 
 
 def test_continuous_batcher_prompt_too_long(tiny):
