@@ -204,3 +204,79 @@ def unpack_rows_tpu_tiled(packed: Array, w_bit: int, group_size: int) -> Array:
     shifts = (jnp.arange(ppw, dtype=jnp.uint32) * w_bit)[None, :, None, None]
     vals = lax.shift_right_logical(jnp.broadcast_to(words, (g, ppw, bkp, n)), shifts) & mask
     return vals.reshape(g * ppw * bkp, n).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# TPU paired-lane packing ("tpu_pair"): each 32-bit word carries codes for the
+# two 16-bit lane halves, so the Pallas kernel extracts TWO codes per
+# shift+mask+or (paired-lane extraction) and converts to bf16 with a single
+# width-changing bitcast instead of a per-element int→float convert:
+#     t_j = ((words >> j*b) & 0x000m000m) | 0x43004300   # bf16(128 + q) pair
+#     q   = bitcast(concat_j(t_j), bf16)                 # rows in order
+# The +128 bias is folded into the zeros term by the kernel.  bitcast
+# semantics (Mosaic/pallas `pltpu.bitcast` u32→bf16): word row i → bf16 rows
+# (2i = low half, 2i+1 = high half).  Logical row of (tile j, word r, half h)
+# is therefore j*(2*bkp) + 2r + h with bkp = group_size*w_bit/32.
+# ---------------------------------------------------------------------------
+
+
+PAIR_BITS = (1, 2, 4)  # codes must fit bf16's exact-integer window [0,128)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def pack_rows_tpu_pair(q_int: Array, w_bit: int, group_size: int) -> Array:
+    """int codes ``(K, N)`` → int32 ``(K/32*b, N)`` in tpu_pair order."""
+    if w_bit not in PAIR_BITS:
+        raise ValueError(f"tpu_pair layout supports w_bit in {PAIR_BITS}")
+    k, n = q_int.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    g = k // group_size
+    # axes: (group, tile j, word r, half h, n)
+    v = q_int.reshape(g, ppw // 2, bkp, 2, n).astype(jnp.uint32)
+    shifts = (
+        (jnp.arange(ppw // 2, dtype=jnp.uint32) * w_bit)[None, :, None, None, None]
+        + (jnp.arange(2, dtype=jnp.uint32) * 16)[None, None, None, :, None]
+    )
+    words = jnp.sum(lax.shift_left(v, shifts), axis=(1, 3), dtype=jnp.uint32)
+    return words.reshape(g * bkp, n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def unpack_rows_tpu_pair(packed: Array, w_bit: int, group_size: int) -> Array:
+    """Inverse of :func:`pack_rows_tpu_pair` → int32 (K, N) in logical order."""
+    kw, n = packed.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    g = kw // bkp
+    mask = jnp.uint32((1 << w_bit) - 1)
+    words = packed.astype(jnp.uint32).reshape(g, 1, bkp, 1, n)
+    shifts = (
+        (jnp.arange(ppw // 2, dtype=jnp.uint32) * w_bit)[None, :, None, None, None]
+        + (jnp.arange(2, dtype=jnp.uint32) * 16)[None, None, None, :, None]
+    )
+    vals = (
+        lax.shift_right_logical(
+            jnp.broadcast_to(words, (g, ppw // 2, bkp, 2, n)), shifts
+        )
+        & mask
+    )
+    return vals.reshape(g * group_size, n).astype(jnp.int32)
+
+
+def pack_rows_layout(q_int: Array, w_bit: int, group_size: int, layout: str) -> Array:
+    """Dispatch packing by :class:`MPQTensor` ``layout`` string."""
+    if layout == "tpu_pair":
+        return pack_rows_tpu_pair(q_int, w_bit, group_size)
+    if layout == "tpu_tiled":
+        return pack_rows_tpu_tiled(q_int, w_bit, group_size)
+    return pack_rows(q_int, w_bit)
+
+
+def unpack_rows_layout(packed: Array, w_bit: int, group_size: int, layout: str) -> Array:
+    """Dispatch unpacking by :class:`MPQTensor` ``layout`` string."""
+    if layout == "tpu_pair":
+        return unpack_rows_tpu_pair(packed, w_bit, group_size)
+    if layout == "tpu_tiled":
+        return unpack_rows_tpu_tiled(packed, w_bit, group_size)
+    return unpack_rows(packed, w_bit)

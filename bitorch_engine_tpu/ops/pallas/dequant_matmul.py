@@ -16,13 +16,21 @@ which drowns in sublane relayouts):
    no per-row broadcast of group metadata is ever materialized — the MXU
    consumes raw integer codes cast to bf16.
 
-2. **TPU-tiled packed layout** (``MPQTensor.layout == "tpu_tiled"``):
-   within each group, value ``j`` of word ``r`` is logical row
-   ``j*(gs/ppw) + r``.  The kernel's unpack is then
+2. **TPU packed layouts.**  ``tpu_tiled`` (8-bit): within each group, value
+   ``j`` of word ``r`` is logical row ``j*(gs/ppw) + r``, so the unpack is
    ``concat_j((words >> j*b) & mask)`` — a scalar shift per tile and a free
-   sublane concatenation, zero shuffles.  The reference does the same trick
-   in spirit with its load-time ``shuffle_kernel`` / ``trans_qweight``
-   re-layouts (``mbwq_linear_cuda_kernel.cu:536-628``).
+   sublane concatenation, zero shuffles.  ``tpu_pair`` (1/2/4-bit): each
+   32-bit word carries codes for both 16-bit lane halves, so one
+   ``(words >> j*b) & 0x000m000m | 0x43004300`` extracts TWO codes already
+   in bf16 magic-exponent form (``0x4300`` = 128.0; mantissa OR gives
+   ``128 + q`` exactly) and a single width-changing ``pltpu.bitcast``
+   replaces the per-element int→float convert — roughly halving the VPU
+   unpack work that round-1 profiling identified as the kernel's bottleneck.
+   The +128 bias folds into the zeros term (``zeros_eff = zeros +
+   128*scales``).  The reference does layout tricks of the same spirit at
+   load time with its ``shuffle_kernel`` / ``trans_qweight`` re-layouts
+   (``mbwq_linear_cuda_kernel.cu:536-628``) and the exl2 bit-twiddle dequant
+   (``quant/qdq_4.cuh:34-60``).
 
 Checkpoint-order ("gptq" layout) tensors are converted once by
 :func:`relayout_tpu` (pure XLA unpack→repack, runs at prepare time like the
@@ -51,14 +59,22 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+def _kernel_layout(w_bit: int) -> str:
+    """Canonical kernel layout per bit width: paired-lane extraction for
+    sub-byte codes (two codes per shift+mask+or, bf16 magic-exponent convert),
+    tiled shift-and-concat for 8-bit (codes ≥128 don't fit the bf16 trick)."""
+    return "tpu_pair" if w_bit in packing.PAIR_BITS else "tpu_tiled"
+
+
 def relayout_tpu(qt: MPQTensor) -> MPQTensor:
-    """Convert to the kernel's canonical form: sym zeros + tpu_tiled packing.
+    """Convert to the kernel's canonical form: sym zeros + TPU packing order.
 
     The asym→sym rewrite (``w = s(q-z) = q·s - s·z``) mirrors the reference's
     prepare-time decompression (``mpq_layer.py:163-204``); the row re-layout
     mirrors ``mbwq_trans_qweight``'s load-time shuffle.
     """
-    if qt.layout == "tpu_tiled":
+    target = _kernel_layout(qt.w_bit)
+    if qt.layout == target:
         return qt
     if qt.group_size % (32 // qt.w_bit) != 0:
         raise NotImplementedError("group_size must be a multiple of 32/w_bit")
@@ -68,14 +84,50 @@ def relayout_tpu(qt: MPQTensor) -> MPQTensor:
         z_int = packing.unpack_cols(qt.zeros, qt.w_bit).astype(jnp.float32)
         zeros = (qt.scales.astype(jnp.float32) * z_int).astype(qt.scales.dtype)
         asym = False
-    q_int = packing.unpack_rows(qt.packed, qt.w_bit)
-    packed = packing.pack_rows_tpu_tiled(q_int, qt.w_bit, qt.group_size)
-    return qt.replace(packed=packed, zeros=zeros, asym=asym, layout="tpu_tiled")
+    q_int = packing.unpack_rows_layout(qt.packed, qt.w_bit, qt.group_size, qt.layout)
+    packed = packing.pack_rows_layout(q_int, qt.w_bit, qt.group_size, target)
+    return qt.replace(packed=packed, zeros=zeros, asym=asym, layout=target)
 
 
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
+
+
+# bf16 magic: 0x4300 = 128.0; OR-ing a code q < 128 into the mantissa yields
+# bf16(128 + q) exactly (ulp at [128,256) is 1).  The +128 bias is folded
+# into the zeros term: zeros_eff = zeros + 128*scales.
+_PAIR_MAGIC = 0x43004300
+_PAIR_BIAS = 128.0
+
+
+def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
+    """(bkp, bn) uint32 words → (group_size, bn) ``dtype`` codes.
+
+    tpu_pair: values come out biased by +128 (see ``_PAIR_MAGIC``); the
+    caller compensates via the zeros term.  tpu_tiled: unbiased.
+    """
+    ppw = 32 // w_bit
+    mask32 = jnp.uint32((1 << w_bit) - 1)
+    if layout == "tpu_pair":
+        pair_mask = jnp.uint32(((1 << w_bit) - 1) * 0x00010001)
+        magic = jnp.uint32(_PAIR_MAGIC)
+        tiles = [
+            (lax.shift_right_logical(words, jnp.uint32(j * w_bit)) & pair_mask)
+            | magic
+            for j in range(ppw // 2)
+        ]
+        blk = jnp.concatenate(tiles, axis=0)  # (gs/2 words, bn)
+        q = pltpu.bitcast(blk, jnp.bfloat16)  # (gs, bn) = 128 + codes
+        return q if dtype == jnp.bfloat16 else q.astype(dtype)
+    tiles = [
+        pltpu.bitcast(
+            lax.shift_right_logical(words, jnp.uint32(j * w_bit)) & mask32,
+            jnp.int32,
+        )
+        for j in range(ppw)
+    ]
+    return jnp.concatenate(tiles, axis=0).astype(dtype)
 
 
 def _mpq_kernel(
@@ -91,11 +143,11 @@ def _mpq_kernel(
     gpk: int,
     nk: int,
     meta3d: bool,
+    layout: str = "tpu_tiled",
 ):
     i_k = pl.program_id(2)
     ppw = 32 // w_bit
     bkp = group_size // ppw
-    mask = jnp.uint32((1 << w_bit) - 1)
 
     @pl.when(i_k == 0)
     def _zero():
@@ -106,6 +158,10 @@ def _mpq_kernel(
     # of the whole scales/zeros per call (measured ~3 us on 4096² w4)
     scales_blk = scales_ref[0] if meta3d else scales_ref[:]
     zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
+    zeros_eff = zeros_blk.astype(jnp.float32)
+    if layout == "tpu_pair":
+        # compensate the +128 bias the magic-exponent unpack adds to codes
+        zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
 
     packed = packed_ref[:].astype(jnp.uint32)  # (gpk*bkp, bn)
     x_blk = x_ref[:]
@@ -113,15 +169,7 @@ def _mpq_kernel(
     xsums = []
     for g in range(gpk):  # static unroll over groups in this K step
         words = packed[g * bkp : (g + 1) * bkp, :]
-        # tpu_tiled: tile j holds logical rows [j*bkp, (j+1)*bkp) of group g
-        tiles = [
-            pltpu.bitcast(
-                lax.shift_right_logical(words, jnp.uint32(j * w_bit)) & mask,
-                jnp.int32,
-            )
-            for j in range(ppw)
-        ]
-        q = jnp.concatenate(tiles, axis=0).astype(x_ref.dtype)  # (gs, bn)
+        q = _unpack_group_to_dtype(words, w_bit, layout, x_ref.dtype)  # (gs, bn)
         x_g = x_blk[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
         contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
         scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
@@ -131,7 +179,7 @@ def _mpq_kernel(
     #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
     xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
     acc = acc - jnp.dot(
-        xsums_mat, zeros_blk.astype(jnp.float32), preferred_element_type=jnp.float32
+        xsums_mat, zeros_eff, preferred_element_type=jnp.float32
     )
     acc_ref[:] = acc
 
@@ -183,7 +231,8 @@ def _pick_tiles(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "w_bit", "group_size", "interpret", "out_dtype", "k_step_rows", "block_n"
+        "w_bit", "group_size", "interpret", "out_dtype", "k_step_rows", "block_n",
+        "layout",
     ),
 )
 def _mpq_matmul_call(
@@ -198,6 +247,7 @@ def _mpq_matmul_call(
     out_dtype=None,
     k_step_rows: Optional[int] = None,
     block_n: Optional[int] = None,
+    layout: str = "tpu_tiled",
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
@@ -222,7 +272,8 @@ def _mpq_matmul_call(
         meta_spec = pl.BlockSpec((gpk, bn), lambda im, i_n, i_k: (i_k, i_n))
 
     kernel = functools.partial(
-        _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d
+        _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
+        layout=layout,
     )
 
     out = pl.pallas_call(
@@ -279,11 +330,11 @@ def _mpq_dma_kernel(
     gpk: int,
     nk: int,
     bn: int,
+    layout: str = "tpu_tiled",
 ):
     ppw = 32 // w_bit
     bkp = group_size // ppw
     kp_step = gpk * bkp
-    mask = jnp.uint32((1 << w_bit) - 1)
     i_n = pl.program_id(1)
 
     def get_dma(slot, chunk):
@@ -309,18 +360,14 @@ def _mpq_dma_kernel(
         x_chunk = x_ref[chunk]  # (bm, gpk*gs) — leading-dim dynamic index
         s_chunk = scales_ref[chunk]  # (gpk, bn)
         z_chunk = zeros_ref[chunk]
+        zeros_eff = z_chunk.astype(jnp.float32)
+        if layout == "tpu_pair":
+            zeros_eff = zeros_eff + _PAIR_BIAS * s_chunk.astype(jnp.float32)
         acc = acc_ref[:]
         xsums = []
         for g in range(gpk):
             words = packed[g * bkp : (g + 1) * bkp, :]
-            tiles = [
-                pltpu.bitcast(
-                    lax.shift_right_logical(words, jnp.uint32(j * w_bit)) & mask,
-                    jnp.int32,
-                )
-                for j in range(ppw)
-            ]
-            q = jnp.concatenate(tiles, axis=0).astype(x_chunk.dtype)
+            q = _unpack_group_to_dtype(words, w_bit, layout, x_chunk.dtype)
             x_g = x_chunk[:, g * group_size : (g + 1) * group_size]
             acc = acc + jnp.dot(
                 x_g, q, preferred_element_type=jnp.float32
@@ -328,7 +375,7 @@ def _mpq_dma_kernel(
             xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
         xs = jnp.concatenate(xsums, axis=1)
         acc = acc - jnp.dot(
-            xs, z_chunk.astype(jnp.float32), preferred_element_type=jnp.float32
+            xs, zeros_eff, preferred_element_type=jnp.float32
         )
         acc_ref[:] = acc
         return 0
@@ -387,7 +434,8 @@ def _pick_dma_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w_bit", "group_size", "gpk", "bn", "interpret")
+    jax.jit,
+    static_argnames=("w_bit", "group_size", "gpk", "bn", "interpret", "layout"),
 )
 def _mpq_matmul_dma_call(
     x: Array,
@@ -400,6 +448,7 @@ def _mpq_matmul_dma_call(
     gpk: int,
     bn: int,
     interpret: bool = False,
+    layout: str = "tpu_tiled",
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
@@ -419,7 +468,8 @@ def _mpq_matmul_dma_call(
 
     out = pl.pallas_call(
         functools.partial(
-            _mpq_dma_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, bn=bn
+            _mpq_dma_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, bn=bn,
+            layout=layout,
         ),
         grid=(1, n // bn),
         in_specs=[
@@ -490,6 +540,7 @@ def mpq_matmul_pallas(
                 gpk=gpk,
                 bn=bn,
                 interpret=interpret,
+                layout=qt.layout,
             )
         if use_dma:
             raise NotImplementedError("shape outside DMA kernel envelope")
@@ -503,4 +554,5 @@ def mpq_matmul_pallas(
         interpret=interpret,
         k_step_rows=k_step_rows,
         block_n=block_n,
+        layout=qt.layout,
     )

@@ -165,10 +165,9 @@ def dequantize_mpq(qt: MPQTensor, dtype=jnp.bfloat16) -> Array:
        (``quant_operators.py:337-341``).
     """
     k, n = qt.logical_shape
-    if qt.layout == "tpu_tiled":
-        q = packing.unpack_rows_tpu_tiled(qt.packed, qt.w_bit, qt.group_size)
-    else:
-        q = packing.unpack_rows(qt.packed, qt.w_bit)  # (K, N) int32
+    q = packing.unpack_rows_layout(
+        qt.packed, qt.w_bit, qt.group_size, qt.layout
+    )  # (K, N) int32
     if qt.asym:
         zeros = packing.unpack_cols(qt.zeros, qt.w_bit)  # (G, N) int, incl. +1
         g = _group_index(qt, k)
@@ -266,9 +265,7 @@ def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = N
         if qt.g_idx is None and qt.q_perm is not None:
             w = w[qt.q_perm]  # gather into stored (permuted) order, ref :124-126
         intweight = jnp.clip(jnp.round((w + zeros) / scales), 0, maxq).astype(jnp.int32)
-    if qt.layout == "tpu_tiled":
-        return packing.pack_rows_tpu_tiled(intweight, qt.w_bit, qt.group_size)
-    return packing.pack_rows(intweight, qt.w_bit)
+    return packing.pack_rows_layout(intweight, qt.w_bit, qt.group_size, qt.layout)
 
 
 # ---------------------------------------------------------------------------

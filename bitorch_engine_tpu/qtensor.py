@@ -154,8 +154,10 @@ class MPQTensor(QTensorBase):
     # Packed-row ordering: "gptq" = value j of word r is logical row
     # r*ppw + j (checkpoint-compatible); "tpu_tiled" = within each quant
     # group, value j of word r is row j*(gs/ppw) + r, so the Pallas kernel's
-    # shift-and-concat unpack yields rows in order with zero relayout
-    # (see ops/pallas/dequant_matmul.py).
+    # shift-and-concat unpack yields rows in order with zero relayout;
+    # "tpu_pair" (1/2/4-bit) = codes split across the two 16-bit halves of
+    # each word so the kernel extracts two codes per shift+mask+or directly
+    # into bf16 magic-exponent form (see ops/pallas/dequant_matmul.py).
     layout: str = struct.field(pytree_node=False, default="gptq")
 
     @property

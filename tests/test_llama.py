@@ -198,7 +198,7 @@ def test_relayout_params_preserves_numerics(tiny_model):
     ref, _ = model.apply(params, tokens)
     rl = relayout_params_for_tpu(params)
     qt = rl["params"]["layer_0"]["attn"]["q_proj"]["qweight"]
-    assert qt.layout == "tpu_tiled"
+    assert qt.layout == "tpu_pair"  # canonical kernel layout for 4-bit
     out, _ = model.apply(rl, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
@@ -215,7 +215,7 @@ def test_relayout_params_mbwq():
     ref, _ = model.apply(params, tokens)
     rl = relayout_params_for_tpu(params)
     seg = rl["params"]["layer_0"]["attn"]["q_proj"]["qweight"].segments[0]
-    assert seg.layout == "tpu_tiled"
+    assert seg.layout == "tpu_pair"
     out, _ = model.apply(rl, tokens)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 

@@ -87,3 +87,39 @@ def test_pad_to_multiple():
     assert padded.shape == (3, 128) and pad == 28
     same, pad0 = packing.pad_to_multiple(padded, 1, 128)
     assert same.shape == (3, 128) and pad0 == 0
+
+
+@pytest.mark.parametrize("w_bit", [1, 2, 4])
+def test_pack_rows_tpu_pair_roundtrip(w_bit):
+    rng = np.random.default_rng(17)
+    k, n, gs = 256, 96, 64
+    q = rng.integers(0, 2**w_bit, size=(k, n)).astype(np.int32)
+    packed = packing.pack_rows_tpu_pair(jnp.asarray(q), w_bit, gs)
+    assert packed.shape == (k * w_bit // 32, n)
+    back = np.asarray(packing.unpack_rows_tpu_pair(packed, w_bit, gs))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_pack_rows_tpu_pair_halves_layout():
+    """Word bit layout: code of logical row (tile j, word r, half h) lives at
+    bits [16h + w_bit*j, ...) — the order pltpu.bitcast(u32→bf16) unpacks
+    (row 2r = low half, 2r+1 = high half)."""
+    w_bit, gs = 4, 64  # ppw=8, bkp=8: tile j covers rows [16j, 16j+16)
+    q = np.zeros((64, 1), dtype=np.int32)
+    q[0, 0] = 0xA  # tile 0, word 0, half 0 → bits [0:4)
+    q[1, 0] = 0xB  # tile 0, word 0, half 1 → bits [16:20)
+    q[16, 0] = 0xC  # tile 1, word 0, half 0 → bits [4:8)
+    packed = np.asarray(packing.pack_rows_tpu_pair(jnp.asarray(q), w_bit, gs))
+    w0 = packed[0, 0].astype(np.uint32)
+    assert w0 & 0xF == 0xA
+    assert (w0 >> 16) & 0xF == 0xB
+    assert (w0 >> 4) & 0xF == 0xC
+
+
+def test_pack_rows_layout_dispatch():
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 16, size=(128, 32)).astype(np.int32)
+    for layout in ("gptq", "tpu_tiled", "tpu_pair"):
+        p = packing.pack_rows_layout(jnp.asarray(q), 4, 64, layout)
+        back = np.asarray(packing.unpack_rows_layout(p, 4, 64, layout))
+        np.testing.assert_array_equal(back, q)

@@ -1,7 +1,12 @@
 """Pallas kernel correctness (interpret mode on CPU; real TPU via bench.py).
 
 Differential pattern per SURVEY.md §4: the fused kernel must match the
-pure-XLA dequant+matmul reference bit-for-bit in fp32 interpret mode.
+pure-XLA dequant+matmul reference in fp32 interpret mode.  Sub-byte widths
+(1/2/4-bit) use the paired-lane magic-exponent unpack, which biases codes by
++128 and cancels the bias through the zeros term — that cancellation rounds
+in f32, so those widths carry a small documented tolerance (~1e-4 abs here,
+far below the bf16 output precision the kernel targets); 8-bit stays on the
+exact shift-and-concat path.
 """
 
 import jax
@@ -16,6 +21,11 @@ from bitorch_engine_tpu.ops.pallas.dequant_matmul import (
 )
 
 
+def _tol(w_bit):
+    # pair-layout widths: +128-bias cancellation rounds in f32
+    return dict(rtol=2e-3, atol=5e-4) if w_bit in (1, 2, 4) else dict(rtol=1e-5, atol=1e-5)
+
+
 def _mk(m, k, n, gs, w_bit, asym=False, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
@@ -24,14 +34,14 @@ def _mk(m, k, n, gs, w_bit, asym=False, seed=0, dtype=jnp.float32):
     return x, qt
 
 
-@pytest.mark.parametrize("w_bit", [2, 4, 8])
+@pytest.mark.parametrize("w_bit", [1, 2, 4, 8])
 @pytest.mark.parametrize("m", [1, 8, 32])
 def test_kernel_matches_xla_dequant(w_bit, m):
     k, n, gs = 512, 256, 128
     x, qt = _mk(m, k, n, gs, w_bit)
     out = mpq_matmul_pallas(x, qt, interpret=True)
     ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(w_bit))
 
 
 def test_kernel_asym_converted():
@@ -40,7 +50,7 @@ def test_kernel_asym_converted():
     x, qt = _mk(4, 256, 128, 64, 4, asym=True)
     out = mpq_matmul_pallas(x, qt, interpret=True)
     ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(4))
 
 
 def test_prepare_for_kernel_sym_equivalence():
@@ -73,7 +83,7 @@ def test_kernel_q_perm_gathers_activations():
     qt_perm = qt.replace(q_perm=perm)
     out = mpq_matmul_pallas(x, qt_perm, interpret=True)
     ref = jnp.dot(x, quant.dequantize_mpq(qt_perm, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(4))
 
 
 @pytest.mark.parametrize("m,k,n", [(8, 256, 128), (3, 100, 70)])
@@ -106,8 +116,8 @@ def test_dma_kernel_matches_grid_kernel(w_bit, m):
     out_dma = mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
     out_grid = mpq_matmul_pallas(x, qt, interpret=True, use_dma=False)
     ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(ref), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(out_grid), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(ref), **_tol(w_bit))
+    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(out_grid), **_tol(w_bit))
 
 
 def test_dma_kernel_asym_and_bf16():
@@ -128,6 +138,6 @@ def test_dma_envelope_fallback():
     x, qt = _mk(128, 512, 256, 128, 4)
     out = mpq_matmul_pallas(x, qt, interpret=True)  # auto: grid path
     ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(4))
     with pytest.raises(NotImplementedError):
         mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
