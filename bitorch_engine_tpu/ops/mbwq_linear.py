@@ -33,6 +33,22 @@ from .quant import dequantize_mpq, quantize_mpq
 Array = jax.Array
 
 
+def _fit_group_size(requested: int, seg_k: int, w_bit: int) -> int:
+    """Largest valid group size ≤ ``requested`` that divides the segment's K
+    and keeps whole packed words per group (gs % (32/w_bit) == 0).  Uneven
+    ``bits_prop`` splits can make the requested size not divide the segment
+    (round-1 crash); shrinking the group is the graceful degradation."""
+    ppw = 32 // w_bit
+    gs = min(requested, seg_k)
+    while gs > ppw and (seg_k % gs != 0 or gs % ppw != 0):
+        gs -= ppw
+    if seg_k % gs != 0 or gs % ppw != 0:
+        raise ValueError(
+            f"no valid group size ≤ {requested} for segment K={seg_k}, w_bit={w_bit}"
+        )
+    return gs
+
+
 def _segment_counts(bits: Sequence[int], props: Sequence[float], n_blocks: int):
     """Static per-bit block counts from the strategy proportions."""
     counts = []
@@ -85,7 +101,7 @@ def quantize_mbwq(
         rows = (blocks[:, None].astype(jnp.int32) * base_gs + row_offsets).reshape(-1)
         perm_parts.append(rows)
         seg_w = w[rows]
-        gs = min(gs_map.get(b, base_gs), cnt * base_gs)
+        gs = _fit_group_size(gs_map.get(b, base_gs), cnt * base_gs, b)
         segments.append(quantize_mpq(seg_w, w_bit=b, group_size=gs, asym=False))
         start += cnt
     perm = jnp.concatenate(perm_parts)
@@ -127,7 +143,7 @@ def _mbwq_linear(x, qt):
 
 
 def _mbwq_forward(x, qt: MBWQTensor):
-    from .mpq_linear import mpq_linear
+    from .mpq_linear import MAX_FUSED_ROWS, _use_pallas, mpq_linear
 
     if qt.channel_scale is not None:
         x = x * qt.channel_scale.astype(x.dtype)
@@ -135,6 +151,24 @@ def _mbwq_forward(x, qt: MBWQTensor):
         xp = x[..., qt.q_perm]
     else:
         xp = x
+
+    lead = xp.shape[:-1]
+    x2d = xp.reshape(-1, xp.shape[-1])
+    # decode regime: ONE fused multi-segment kernel launch (parity with the
+    # reference's single mixed-bit kernel, mbwq_linear_cuda_kernel.cu:928-1006)
+    if (
+        _use_pallas()
+        and x2d.shape[0] <= MAX_FUSED_ROWS
+        and all(s.g_idx is None and s.q_perm is None for s in qt.segments)
+    ):
+        from .pallas.mbwq_matmul import mbwq_matmul_pallas
+
+        try:
+            out = mbwq_matmul_pallas(x2d, qt)
+            return out.reshape(*lead, -1)
+        except NotImplementedError:
+            pass
+
     out = None
     off = 0
     for seg in qt.segments:

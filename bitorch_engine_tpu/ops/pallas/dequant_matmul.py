@@ -130,6 +130,44 @@ def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
     return jnp.concatenate(tiles, axis=0).astype(dtype)
 
 
+def _accumulate_k_step(
+    x_blk,
+    packed_blk,
+    scales_blk,
+    zeros_blk,
+    acc,
+    *,
+    w_bit: int,
+    group_size: int,
+    gpk: int,
+    layout: str,
+):
+    """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
+    dot each against its activation slice, apply group-factored scales and
+    the batched zeros correction.  Shared by the grid, DMA and multi-segment
+    (MBWQ) kernels."""
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    zeros_eff = zeros_blk.astype(jnp.float32)
+    if layout == "tpu_pair":
+        # compensate the +128 bias the magic-exponent unpack adds to codes
+        zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
+    packed = packed_blk.astype(jnp.uint32)  # (gpk*bkp, bn)
+    xsums = []
+    for g in range(gpk):  # static unroll over groups in this K step
+        words = packed[g * bkp : (g + 1) * bkp, :]
+        q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)  # (gs, bn)
+        x_g = x_blk[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
+        contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
+        scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
+        acc = acc + contrib * scale
+        xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
+    # zeros term, batched into ONE MXU op across the K step's groups:
+    #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
+    xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
+    return acc - jnp.dot(xsums_mat, zeros_eff, preferred_element_type=jnp.float32)
+
+
 def _mpq_kernel(
     x_ref,
     packed_ref,
@@ -146,8 +184,6 @@ def _mpq_kernel(
     layout: str = "tpu_tiled",
 ):
     i_k = pl.program_id(2)
-    ppw = 32 // w_bit
-    bkp = group_size // ppw
 
     @pl.when(i_k == 0)
     def _zero():
@@ -158,30 +194,18 @@ def _mpq_kernel(
     # of the whole scales/zeros per call (measured ~3 us on 4096² w4)
     scales_blk = scales_ref[0] if meta3d else scales_ref[:]
     zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
-    zeros_eff = zeros_blk.astype(jnp.float32)
-    if layout == "tpu_pair":
-        # compensate the +128 bias the magic-exponent unpack adds to codes
-        zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
 
-    packed = packed_ref[:].astype(jnp.uint32)  # (gpk*bkp, bn)
-    x_blk = x_ref[:]
-    acc = acc_ref[:]
-    xsums = []
-    for g in range(gpk):  # static unroll over groups in this K step
-        words = packed[g * bkp : (g + 1) * bkp, :]
-        q = _unpack_group_to_dtype(words, w_bit, layout, x_ref.dtype)  # (gs, bn)
-        x_g = x_blk[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
-        contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
-        scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
-        acc = acc + contrib * scale
-        xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
-    # zeros term, batched into ONE MXU op across the K step's groups:
-    #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
-    xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
-    acc = acc - jnp.dot(
-        xsums_mat, zeros_eff, preferred_element_type=jnp.float32
+    acc_ref[:] = _accumulate_k_step(
+        x_ref[:],
+        packed_ref[:],
+        scales_blk,
+        zeros_blk,
+        acc_ref[:],
+        w_bit=w_bit,
+        group_size=group_size,
+        gpk=gpk,
+        layout=layout,
     )
-    acc_ref[:] = acc
 
     @pl.when(i_k == nk - 1)
     def _store():
@@ -356,28 +380,17 @@ def _mpq_dma_kernel(
 
         get_dma(slot, chunk).wait()
 
-        packed = buf[slot].astype(jnp.uint32)  # (kp_step, bn)
-        x_chunk = x_ref[chunk]  # (bm, gpk*gs) — leading-dim dynamic index
-        s_chunk = scales_ref[chunk]  # (gpk, bn)
-        z_chunk = zeros_ref[chunk]
-        zeros_eff = z_chunk.astype(jnp.float32)
-        if layout == "tpu_pair":
-            zeros_eff = zeros_eff + _PAIR_BIAS * s_chunk.astype(jnp.float32)
-        acc = acc_ref[:]
-        xsums = []
-        for g in range(gpk):
-            words = packed[g * bkp : (g + 1) * bkp, :]
-            q = _unpack_group_to_dtype(words, w_bit, layout, x_chunk.dtype)
-            x_g = x_chunk[:, g * group_size : (g + 1) * group_size]
-            acc = acc + jnp.dot(
-                x_g, q, preferred_element_type=jnp.float32
-            ) * s_chunk[g : g + 1, :].astype(jnp.float32)
-            xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
-        xs = jnp.concatenate(xsums, axis=1)
-        acc = acc - jnp.dot(
-            xs, zeros_eff, preferred_element_type=jnp.float32
+        acc_ref[:] = _accumulate_k_step(
+            x_ref[chunk],  # (bm, gpk*gs) — leading-dim dynamic index
+            buf[slot],  # (kp_step, bn)
+            scales_ref[chunk],  # (gpk, bn)
+            zeros_ref[chunk],
+            acc_ref[:],
+            w_bit=w_bit,
+            group_size=group_size,
+            gpk=gpk,
+            layout=layout,
         )
-        acc_ref[:] = acc
         return 0
 
     lax.fori_loop(0, nk, body, 0)

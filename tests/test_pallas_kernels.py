@@ -141,3 +141,62 @@ def test_dma_envelope_fallback():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(4))
     with pytest.raises(NotImplementedError):
         mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
+
+
+# --- fused multi-segment mixed-bit (MBWQ) kernel -----------------------------
+
+
+def _mk_mbwq(m, k, n, strategy, seed=0, dtype=jnp.float32):
+    from bitorch_engine_tpu.ops.mbwq_linear import quantize_mbwq
+
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), dtype)
+    return x, quantize_mbwq(w, strategy)
+
+
+@pytest.mark.parametrize("m", [1, 8, 32])
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        {"bits": [4, 2], "bits_prop": [0.25, 0.75], "group_size": {"4": 128, "2": 128}},
+        {"bits": [8, 4, 2], "bits_prop": [0.25, 0.5, 0.25], "group_size": {"8": 64, "4": 64, "2": 64}},
+    ],
+)
+def test_mbwq_fused_kernel_matches_dequant(m, strategy):
+    """ONE launch over all bit segments == XLA dequant of the MBWQTensor."""
+    from bitorch_engine_tpu.ops.mbwq_linear import dequantize_mbwq
+    from bitorch_engine_tpu.ops.pallas.mbwq_matmul import mbwq_matmul_pallas
+
+    k, n = 1024, 256
+    x, qt = _mk_mbwq(m, k, n, strategy)
+    xp = x[:, qt.q_perm]  # caller-side activation gather
+    out = mbwq_matmul_pallas(xp, qt, interpret=True)
+    ref = jnp.dot(x, dequantize_mbwq(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=5e-4)
+
+
+def test_mbwq_fused_kernel_single_segment():
+    from bitorch_engine_tpu.ops.mbwq_linear import dequantize_mbwq
+    from bitorch_engine_tpu.ops.pallas.mbwq_matmul import mbwq_matmul_pallas
+
+    strategy = {"bits": [4], "bits_prop": [1.0], "group_size": {"4": 128}}
+    x, qt = _mk_mbwq(4, 512, 128, strategy)
+    xp = x[:, qt.q_perm]
+    out = mbwq_matmul_pallas(xp, qt, interpret=True)
+    ref = jnp.dot(x, dequantize_mbwq(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=5e-4)
+
+
+def test_mbwq_uneven_props_group_size_fits():
+    """Uneven bits_prop used to produce a group size that didn't divide the
+    segment K (round-1 crash); now the group shrinks gracefully."""
+    from bitorch_engine_tpu.ops.mbwq_linear import dequantize_mbwq, quantize_mbwq
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((768, 64)).astype(np.float32))
+    strategy = {"bits": [4, 2], "bits_prop": [0.3, 0.7], "group_size": {"4": 128, "2": 128}}
+    qt = quantize_mbwq(w, strategy)  # 0.3*24 blocks = 7.2 → uneven split
+    assert sum(s.in_features for s in qt.segments) == 768
+    d = dequantize_mbwq(qt)
+    assert d.shape == (768, 64)
