@@ -28,6 +28,7 @@ import numpy as np
 from jax import lax
 
 from ..qtensor import MBWQTensor, MPQTensor, qtensor_cotangent
+from . import packing
 from .quant import dequantize_mpq, quantize_mpq
 
 Array = jax.Array
@@ -37,7 +38,8 @@ def _fit_group_size(requested: int, seg_k: int, w_bit: int) -> int:
     """Largest valid group size ≤ ``requested`` that divides the segment's K
     and keeps whole packed words per group (gs % (32/w_bit) == 0).  Uneven
     ``bits_prop`` splits can make the requested size not divide the segment
-    (round-1 crash); shrinking the group is the graceful degradation."""
+    (round-1 crash); shrinking the group is the graceful degradation.
+    ``w_bit`` here is the storage container width."""
     ppw = 32 // w_bit
     gs = min(requested, seg_k)
     while gs > ppw and (seg_k % gs != 0 or gs % ppw != 0):
@@ -101,8 +103,19 @@ def quantize_mbwq(
         rows = (blocks[:, None].astype(jnp.int32) * base_gs + row_offsets).reshape(-1)
         perm_parts.append(rows)
         seg_w = w[rows]
-        gs = _fit_group_size(gs_map.get(b, base_gs), cnt * base_gs, b)
-        segments.append(quantize_mpq(seg_w, w_bit=b, group_size=gs, asym=False))
+        container = packing.CONTAINER_BITS.get(b)
+        if container is None:
+            raise ValueError(f"unsupported bits={b}; choose from {sorted(packing.CONTAINER_BITS)}")
+        gs = _fit_group_size(gs_map.get(b, base_gs), cnt * base_gs, container)
+        segments.append(
+            quantize_mpq(
+                seg_w,
+                w_bit=container,
+                group_size=gs,
+                asym=False,
+                code_bits=None if container == b else b,
+            )
+        )
         start += cnt
     perm = jnp.concatenate(perm_parts)
 
@@ -210,6 +223,16 @@ _mbwq_linear.defvjp(_mbwq_fwd, _mbwq_bwd)
 
 
 def average_bits(qt: MBWQTensor) -> float:
-    """Average bits/weight across segments (the '2.x-bit' GreenBit metric)."""
+    """Average quantization bits/weight (the '2.x-bit' GreenBit metric).
+
+    Counts true code widths (``MPQTensor.quant_bits``); odd exl2 widths
+    stored in byte-aligned containers report their logical width here —
+    use :func:`average_storage_bits` for the on-TPU footprint."""
+    total = qt.in_features
+    return sum(seg.quant_bits * seg.in_features for seg in qt.segments) / total
+
+
+def average_storage_bits(qt: MBWQTensor) -> float:
+    """Average *stored* bits/weight (container widths, i.e. HBM bytes)."""
     total = qt.in_features
     return sum(seg.w_bit * seg.in_features for seg in qt.segments) / total

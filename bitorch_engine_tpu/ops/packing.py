@@ -33,6 +33,11 @@ _jit = functools.partial(jax.jit, inline=True)
 
 SUPPORTED_BITS = (1, 2, 4, 8)
 
+# storage container per quantization width: odd exl2 widths (3/5/6,
+# reference exl2/quant/qdq_{3,5,6}.cuh) ride in the next byte-aligned
+# container; MPQTensor.code_bits records the true width
+CONTAINER_BITS = {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 8: 8}
+
 
 def _shift_amounts(w_bit: int) -> Array:
     """Bit offsets of the ``32 // w_bit`` values inside one int32 word (LSB first)."""

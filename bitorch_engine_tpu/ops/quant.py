@@ -190,24 +190,37 @@ def _group_index(qt: MPQTensor, k: int) -> Array:
     return (jnp.arange(k, dtype=jnp.int32) // qt.group_size)
 
 
-@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size', 'asym'))
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size', 'asym', 'code_bits'))
 def quantize_mpq(
     weight: Array,
     w_bit: int = 4,
     group_size: int = 128,
     asym: bool = False,
+    code_bits: Optional[int] = None,
 ) -> MPQTensor:
     """RTN group-wise quantization of an fp weight ``(K, N)`` into an MPQTensor.
 
     This is the from-scratch quantizer (the reference consumes externally
     produced GPTQ/GBA checkpoints; its own repack path is ``pack_fp_weight``,
     ``nbit/cuda/utils.py:72-147`` — the math here matches that inverse).
+
+    ``code_bits`` < ``w_bit`` quantizes at an odd width (3/5/6-bit, the exl2
+    widths of ``qdq_{3,5,6}.cuh``) while packing into the byte-aligned
+    ``w_bit`` container.
     """
     k, n = weight.shape
+    if w_bit not in packing.SUPPORTED_BITS:
+        raise ValueError(
+            f"w_bit={w_bit} is not a packable container width "
+            f"{packing.SUPPORTED_BITS}; for odd exl2 widths pass the "
+            f"container (e.g. w_bit=4, code_bits=3)"
+        )
     if k % group_size != 0:
         raise ValueError(f"K={k} not a multiple of group_size={group_size}")
+    if code_bits is not None and not 0 < code_bits <= w_bit:
+        raise ValueError(f"code_bits={code_bits} must be in (0, w_bit={w_bit}]")
     w = weight.astype(jnp.float32).reshape(k // group_size, group_size, n)
-    maxq = float(2**w_bit - 1)
+    maxq = float(2 ** (code_bits or w_bit) - 1)
     if asym:
         wmin = jnp.min(w, axis=1)
         wmax = jnp.max(w, axis=1)
@@ -223,6 +236,7 @@ def quantize_mpq(
             w_bit=w_bit,
             group_size=group_size,
             asym=True,
+            code_bits=code_bits,
         )
     # symmetric/GBA style: w = q * scale - zero  with q in [0, maxq]
     wmin = jnp.min(w, axis=1)
@@ -237,6 +251,7 @@ def quantize_mpq(
         w_bit=w_bit,
         group_size=group_size,
         asym=False,
+        code_bits=code_bits,
     )
 
 
@@ -248,7 +263,7 @@ def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = N
     DiodeMix MPQ update regime after the AdamW step on the dequantized weight.
     """
     k, n = qt.logical_shape
-    maxq = 2**qt.w_bit - 1
+    maxq = 2**qt.quant_bits - 1
     g = _group_index(qt, k)
     scales = qt.scales[g].astype(jnp.float32)
     w = weight.astype(jnp.float32)

@@ -139,7 +139,13 @@ class MPQTensor(QTensorBase):
       at dequant-time via scatter (``quant_operators.py:340-341``); the fast
       kernel path instead permutes activations.
 
-    ``w_bit`` ∈ {1, 2, 4, 8} (``mpq_layer.py:160``); activations stay 16-bit.
+    ``w_bit`` ∈ {1, 2, 4, 8} (``mpq_layer.py:160``) is the *container* width
+    the codes are packed at; activations stay 16-bit.  Odd exl2 widths
+    (3/5/6-bit, reference ``exl2/quant/qdq_{3,5,6}.cuh``) are carried in the
+    next byte-aligned container (3→4, 5/6→8) with ``code_bits`` recording
+    the true quantization width — the reference re-layouts these at load
+    time too (``shuffle_kernel`` / ``trans_qweight``); on TPU the
+    byte-aligned container is what keeps the unpack on the fast paths.
     """
 
     packed: Array
@@ -151,6 +157,9 @@ class MPQTensor(QTensorBase):
     group_size: int = struct.field(pytree_node=False, default=128)
     asym: bool = struct.field(pytree_node=False, default=False)
     grad_shadow: Optional[Array] = None
+    # true quantization width when it differs from the storage container
+    # (e.g. 3-bit exl2 codes in a 4-bit container); None ⇒ == w_bit
+    code_bits: Optional[int] = struct.field(pytree_node=False, default=None)
     # Packed-row ordering: "gptq" = value j of word r is logical row
     # r*ppw + j (checkpoint-compatible); "tpu_tiled" = within each quant
     # group, value j of word r is row j*(gs/ppw) + r, so the Pallas kernel's
@@ -167,6 +176,11 @@ class MPQTensor(QTensorBase):
     @property
     def out_features(self) -> int:
         return self.packed.shape[1]
+
+    @property
+    def quant_bits(self) -> int:
+        """True quantization width (≤ the storage container ``w_bit``)."""
+        return self.code_bits if self.code_bits is not None else self.w_bit
 
     @property
     def num_groups(self) -> int:
@@ -216,7 +230,9 @@ class MBWQTensor(QTensorBase):
 
     @property
     def bit_widths(self) -> Tuple[int, ...]:
-        return tuple(seg.w_bit for seg in self.segments)
+        """Logical quantization widths per segment (odd exl2 widths report
+        their true width, not the byte-aligned storage container)."""
+        return tuple(seg.quant_bits for seg in self.segments)
 
 
 @struct.dataclass

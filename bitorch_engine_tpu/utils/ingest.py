@@ -121,6 +121,36 @@ def mpq_from_gba(
     )
 
 
+# odd exl2 widths are re-packed into the next byte-aligned container at load
+# (the reference also re-layouts at load: shuffle_kernel / trans_qweight,
+# mbwq_linear_cuda_kernel.cu:536-628); the TPU kernel then runs its fast
+# uniform unpack on the container width
+EXL2_BITS = (2, 3, 4, 5, 6, 8)
+_CONTAINER_BITS = packing.CONTAINER_BITS
+
+
+def unpack_exl2_bitstream(q_rows: np.ndarray, bits: int) -> np.ndarray:
+    """exl2 sequentially-packed rows → int codes.
+
+    ``q_rows``: int32 ``(QR, N)``; per column, the QR words form a
+    little-endian bitstream along K in which value ``i`` occupies bits
+    ``[bits*i, bits*(i+1))`` — the pre-shuffle layout documented in the
+    reference's ``qdq_3.cuh:26-31`` ("qa: aa999888 77766655 54443332
+    22111000") and produced by exllamav2's quantizer.  Returns int32
+    ``(QR*32 // bits, N)``.
+    """
+    qr, n = q_rows.shape
+    u = q_rows.astype(np.uint32)
+    bit_idx = np.arange(32, dtype=np.uint32)
+    stream = ((u[:, None, :] >> bit_idx[None, :, None]) & 1).astype(np.uint8)
+    k = qr * 32 // bits
+    stream = stream.reshape(qr * 32, n)[: k * bits].reshape(k, bits, n)
+    vals = np.zeros((k, n), np.int32)
+    for j in range(bits):
+        vals |= stream[:, j, :].astype(np.int32) << j
+    return vals
+
+
 def mbwq_from_exl2(
     q_weight: np.ndarray,
     q_scale: np.ndarray,
@@ -129,12 +159,15 @@ def mbwq_from_exl2(
     q_invperm: Optional[np.ndarray] = None,
     channel_scale: Optional[np.ndarray] = None,
 ) -> MBWQTensor:
-    """exllamav2 checkpoint tensors → MBWQTensor.
+    """exllamav2 checkpoint tensors → MBWQTensor, all widths 2/3/4/5/6/8.
 
     exl2 stores per-group 4-bit-quantized scales (``q_scale`` packed 8/int32,
     ``q_scale_max`` per-row max) and a ``q_groups`` [bits, start_qrow] pair
-    list (``make_group_map``'s input, reference ``nbit/cuda/utils.py:150-187``).
-    Rows are already stored permuted; ``q_invperm`` maps stored→logical.
+    list (``make_group_map``'s input, reference ``nbit/cuda/utils.py:150-187``;
+    dequant math parity ``exl2/quant/qdq_{2,3,4,5,6,8}.cuh``).  Rows are
+    already stored permuted; ``q_invperm`` maps stored→logical.  Odd widths
+    (3/5/6) are unpacked from their sequential bitstream and re-packed into
+    byte-aligned containers (``MPQTensor.code_bits`` keeps the true width).
     """
     n = q_weight.shape[1]
     qg = np.asarray(q_groups, np.int64).reshape(-1, 2)
@@ -149,53 +182,44 @@ def mbwq_from_exl2(
     sc_codes = sc_codes * sc_codes
     q_scale_max = np.asarray(q_scale_max, np.float32).reshape(-1) / 256.0
 
-    segments = []
+    # per-group metadata: (bits, logical rows, qrow range, scale row)
     starts = list(qg[:, 1]) + [num_qrows]
-    group_rows = []  # logical row count per group
+    groups = []
     for i in range(len(qg)):
         bits = int(qg[i, 0])
-        qrows = int(starts[i + 1] - starts[i])
-        group_rows.append((bits, qrows * 32 // bits, int(starts[i])))
+        if bits not in EXL2_BITS:
+            raise ValueError(f"exl2 group {i}: unsupported bits={bits}")
+        qs, qe = int(starts[i]), int(starts[i + 1])
+        groups.append((bits, (qe - qs) * 32 // bits, qs, qe, i))
 
-    # build contiguous per-bit segments (exl2 groups are already sorted by
-    # descending bits after trans_qweight; enforce/merge here)
-    from collections import OrderedDict
-
-    by_bits = OrderedDict()
-    row_cursor = 0
-    scale_row = 0
-    seg_meta = []
-    for bits, rows, qstart in group_rows:
-        gsize = rows  # one exl2 group
-        sc = sc_codes[scale_row] * q_scale_max[scale_row]
-        seg_meta.append((bits, rows, qstart, sc))
-        scale_row += 1
+    # one segment per run of equal (bits, rows): uniform MPQ sub-problems
     segs = []
     i = 0
-    while i < len(seg_meta):
-        bits = seg_meta[i][0]
-        rows = 0
-        qrows = 0
-        scales_rows = []
-        qstart = seg_meta[i][2]
-        while i < len(seg_meta) and seg_meta[i][0] == bits:
-            rows += seg_meta[i][1]
-            scales_rows.append((seg_meta[i][3], seg_meta[i][1]))
+    while i < len(groups):
+        bits, rows = groups[i][0], groups[i][1]
+        run = []
+        while i < len(groups) and groups[i][0] == bits and groups[i][1] == rows:
+            run.append(groups[i])
             i += 1
-        qend = seg_meta[i][2] if i < len(seg_meta) else num_qrows
-        packed_seg = np.asarray(q_weight[qstart:qend], np.int32)
-        # per-group scales matrix for this segment
-        gs = scales_rows[0][1]
-        scales = np.stack([s for s, _ in scales_rows]).astype(np.float32)
+        codes = np.concatenate(
+            [unpack_exl2_bitstream(np.asarray(q_weight[qs:qe], np.int32), bits)
+             for (_, _, qs, qe, _) in run],
+            axis=0,
+        )
+        scales = np.stack(
+            [sc_codes[g] * q_scale_max[g] for (_, _, _, _, g) in run]
+        ).astype(np.float32)
         zeros = (2 ** (bits - 1)) * scales  # exl2 symmetric midpoint
+        container = _CONTAINER_BITS[bits]
         segs.append(
             MPQTensor(
-                packed=jnp.asarray(packed_seg),
+                packed=packing.pack_rows(jnp.asarray(codes), container),
                 scales=jnp.asarray(scales),
                 zeros=jnp.asarray(zeros),
-                w_bit=bits,
-                group_size=gs,
+                w_bit=container,
+                group_size=rows,
                 asym=False,
+                code_bits=None if container == bits else bits,
             )
         )
 

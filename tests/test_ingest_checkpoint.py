@@ -148,3 +148,176 @@ def test_mbwq_from_exl2_synthetic():
     w = np.asarray(dequantize_mbwq(qt, jnp.float32))
     exp4 = (codes4 - 8) * dec_scales[:n4].repeat(gs4, axis=0)
     np.testing.assert_allclose(w[:k4], exp4, rtol=1e-5, atol=1e-6)
+
+
+def _pack_exl2_bitstream(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Numpy golden inverse of ingest.unpack_exl2_bitstream: per column,
+    value i occupies bits [bits*i, bits*(i+1)) of a little-endian bitstream
+    packed into int32 words along K (the exl2 on-disk layout,
+    reference exl2/quant/qdq_3.cuh:26-31)."""
+    k, n = codes.shape
+    total_bits = k * bits
+    assert total_bits % 32 == 0
+    stream = np.zeros((total_bits, n), np.uint8)
+    for i in range(k):
+        for j in range(bits):
+            stream[i * bits + j] = (codes[i] >> j) & 1
+    words = np.zeros((total_bits // 32, n), np.uint32)
+    for b in range(32):
+        words |= stream[b::32].astype(np.uint32) << np.uint32(b)
+    return words.astype(np.int32)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 8])
+def test_exl2_bitstream_roundtrip(bits):
+    """unpack_exl2_bitstream inverts the sequential bitstream pack for every
+    exl2 width; for 32%bits==0 widths it coincides with GPTQ row packing."""
+    rng = np.random.default_rng(bits)
+    k = 96 if bits in (3, 6) else 64  # k*bits % 32 == 0
+    n = 8
+    codes = rng.integers(0, 2**bits, (k, n), dtype=np.int64).astype(np.int32)
+    words = _pack_exl2_bitstream(codes, bits)
+    out = ingest.unpack_exl2_bitstream(words, bits)
+    np.testing.assert_array_equal(out, codes)
+    if 32 % bits == 0:
+        np.testing.assert_array_equal(
+            np.asarray(packing.unpack_rows(jnp.asarray(words), bits)), codes
+        )
+
+
+def test_mbwq_from_exl2_odd_widths():
+    """3/5/6-bit exl2 groups ingest bit-exactly into byte-aligned containers
+    (code_bits records the true width) and dequantize to the numpy golden."""
+    from bitorch_engine_tpu.utils.ingest import mbwq_from_exl2
+    from bitorch_engine_tpu.ops.mbwq_linear import (
+        average_bits, average_storage_bits, dequantize_mbwq,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 64
+    seg_bits = [6, 5, 3]
+    gs = 32  # rows per exl2 group
+    n_groups = [2, 2, 4]
+
+    total_groups = sum(n_groups)
+    true_scales = rng.uniform(0.01, 0.1, (total_groups, n)).astype(np.float32)
+    q_scale_max = true_scales.max(axis=1) * 1.05
+    sc = np.clip(
+        np.round(np.sqrt(true_scales / q_scale_max[:, None] * 256.0)) - 1, 0, 15
+    ).astype(np.int32)
+    q_scale = np.asarray(packing.pack_cols(jnp.asarray(sc + 1), 4))
+    dec_scales = ((sc + 1).astype(np.float32) ** 2) * q_scale_max[:, None] / 256.0
+
+    q_groups, qw_parts, code_parts = [], [], []
+    qrow = 0
+    for b, ng in zip(seg_bits, n_groups):
+        for _ in range(ng):
+            codes = rng.integers(0, 2**b, (gs, n), dtype=np.int64).astype(np.int32)
+            code_parts.append((b, codes))
+            qw_parts.append(_pack_exl2_bitstream(codes, b))
+            q_groups += [b, qrow]
+            qrow += gs * b // 32
+    q_weight = np.concatenate(qw_parts, axis=0)
+    q_groups = np.asarray(q_groups, np.int32)
+
+    qt = mbwq_from_exl2(q_weight, q_scale, q_scale_max, q_groups)
+    assert qt.bit_widths == (6, 5, 3)
+    assert [s.w_bit for s in qt.segments] == [8, 8, 4]  # containers
+    assert [s.quant_bits for s in qt.segments] == [6, 5, 3]
+    k_total = gs * total_groups
+    assert qt.in_features == k_total
+    exp_avg = sum(b * ng * gs for b, ng in zip(seg_bits, n_groups)) / k_total
+    assert abs(average_bits(qt) - exp_avg) < 1e-6
+    assert average_storage_bits(qt) > average_bits(qt)
+
+    # bit-exact dequant vs golden: (codes - 2^(b-1)) * scale
+    w = np.asarray(dequantize_mbwq(qt, jnp.float32))
+    row = 0
+    for gi, (b, codes) in enumerate(code_parts):
+        exp = (codes - 2 ** (b - 1)) * dec_scales[gi][None, :]
+        np.testing.assert_allclose(w[row : row + gs], exp, rtol=1e-5, atol=1e-7)
+        row += gs
+
+
+def test_mbwq_from_exl2_odd_widths_fused_kernel():
+    """Odd-width (container-packed) segments run through the fused
+    multi-segment Pallas kernel (interpret mode) and match XLA dequant."""
+    from bitorch_engine_tpu.utils.ingest import mbwq_from_exl2
+    from bitorch_engine_tpu.ops.mbwq_linear import dequantize_mbwq
+    from bitorch_engine_tpu.ops.pallas.mbwq_matmul import mbwq_matmul_pallas
+
+    rng = np.random.default_rng(13)
+    n = 128
+    gs = 128
+    seg_bits = [5, 3]
+    n_groups = [1, 2]
+
+    total_groups = sum(n_groups)
+    true_scales = rng.uniform(0.01, 0.1, (total_groups, n)).astype(np.float32)
+    q_scale_max = true_scales.max(axis=1) * 1.05
+    sc = np.clip(
+        np.round(np.sqrt(true_scales / q_scale_max[:, None] * 256.0)) - 1, 0, 15
+    ).astype(np.int32)
+    q_scale = np.asarray(packing.pack_cols(jnp.asarray(sc + 1), 4))
+
+    q_groups, qw_parts = [], []
+    qrow = 0
+    for b, ng in zip(seg_bits, n_groups):
+        for _ in range(ng):
+            codes = rng.integers(0, 2**b, (gs, n), dtype=np.int64).astype(np.int32)
+            qw_parts.append(_pack_exl2_bitstream(codes, b))
+            q_groups += [b, qrow]
+            qrow += gs * b // 32
+    qt = mbwq_from_exl2(
+        np.concatenate(qw_parts, axis=0),
+        q_scale,
+        q_scale_max,
+        np.asarray(q_groups, np.int32),
+    )
+
+    x = jnp.asarray(rng.standard_normal((8, qt.in_features)).astype(np.float32))
+    out = mbwq_matmul_pallas(x, qt, interpret=True)
+    ref = jnp.dot(x, dequantize_mbwq(qt, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=5e-4)
+
+
+def test_quantize_mpq_code_bits():
+    """quantize_mpq(code_bits=3) emits codes < 8 packed in the 4-bit
+    container; repack_mpq round-trips at the true width."""
+    rng = np.random.default_rng(17)
+    w = jnp.asarray(rng.standard_normal((256, 32)).astype(np.float32) * 0.05)
+    qt = quant.quantize_mpq(w, w_bit=4, group_size=64, code_bits=3)
+    assert qt.w_bit == 4 and qt.quant_bits == 3
+    codes = np.asarray(packing.unpack_rows(qt.packed, 4))
+    assert codes.max() <= 7
+    d = quant.dequantize_mpq(qt, jnp.float32)
+    # 3-bit RTN error bound: |w - d| <= scale/2 per group
+    err = np.abs(np.asarray(d) - np.asarray(w))
+    scale_per_row = np.asarray(qt.scales).repeat(64, axis=0)
+    assert (err <= scale_per_row * 0.51).all()
+    # repack keeps codes in the 3-bit range
+    repacked = quant.repack_mpq(d, qt)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(qt.packed))
+
+
+def test_quantize_mbwq_odd_width_strategy():
+    """quantize_mbwq accepts odd exl2 widths via containers."""
+    from bitorch_engine_tpu.ops.mbwq_linear import (
+        average_bits, average_storage_bits, dequantize_mbwq, quantize_mbwq,
+    )
+
+    rng = np.random.default_rng(19)
+    w = jnp.asarray(rng.standard_normal((1024, 64)).astype(np.float32) * 0.05)
+    strategy = {
+        "bits": [6, 3],
+        "bits_prop": [0.25, 0.75],
+        "group_size": {"6": 64, "3": 64},
+    }
+    qt = quantize_mbwq(w, strategy)
+    assert [s.quant_bits for s in qt.segments] == [6, 3]
+    assert [s.w_bit for s in qt.segments] == [8, 4]
+    assert abs(average_bits(qt) - (6 * 0.25 + 3 * 0.75)) < 1e-6
+    assert average_storage_bits(qt) == 8 * 0.25 + 4 * 0.75
+    d = dequantize_mbwq(qt)
+    # quantization error bounded by the per-group scale envelope
+    assert float(jnp.max(jnp.abs(d - w))) < float(jnp.max(jnp.abs(w)))
