@@ -1,2 +1,2 @@
-from . import binary_linear, mpq_linear, packing, qat_linear, quant  # noqa: F401
+from . import binary_linear, mpq_linear, packing, qat_linear, qat_matmul, quant  # noqa: F401
 
