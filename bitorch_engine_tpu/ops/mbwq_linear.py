@@ -155,6 +155,21 @@ def _mbwq_linear(x, qt):
     return _mbwq_forward(x, qt)
 
 
+# Dispatch for the single-launch multi-segment kernel (mbwq_matmul.py).
+# Measured on v5e (same-process A/B, 4096² + 11008×4096 mbwq-2.5, m=8) the
+# per-segment pair-layout calls currently WIN (fused 0.81–0.97×): the fused
+# launch's per-step multi-input pipeline bookkeeping outweighs the saved
+# output write at these shapes.  The kernel stays available (and tested)
+# via this env knob while the pipeline is tuned.
+_FUSED_ENV = "BITORCH_MBWQ_FUSED"
+
+
+def _use_fused_kernel() -> bool:
+    import os
+
+    return os.environ.get(_FUSED_ENV, "0") == "1"
+
+
 def _mbwq_forward(x, qt: MBWQTensor):
     from .mpq_linear import MAX_FUSED_ROWS, _use_pallas, mpq_linear
 
@@ -170,7 +185,8 @@ def _mbwq_forward(x, qt: MBWQTensor):
     # decode regime: ONE fused multi-segment kernel launch (parity with the
     # reference's single mixed-bit kernel, mbwq_linear_cuda_kernel.cu:928-1006)
     if (
-        _use_pallas()
+        _use_fused_kernel()
+        and _use_pallas()
         and x2d.shape[0] <= MAX_FUSED_ROWS
         and all(s.g_idx is None and s.q_perm is None for s in qt.segments)
     ):

@@ -164,8 +164,19 @@ def _accumulate_k_step(
         xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
     # zeros term, batched into ONE MXU op across the K step's groups:
     #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
+    # precision=HIGHEST is load-bearing: at default precision the MXU
+    # truncates these f32 operands to bf16, and for tpu_pair the folded
+    # +128 bias makes this term up to 128/maxq ≈ 128× larger than the
+    # signal — bf16 truncation there showed up as 10–73% end error on
+    # hardware (interpret mode computes f32 and hid it).  The dot is
+    # (bm, gpk)·(gpk, bn) — tiny, so the multi-pass cost is noise.
     xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
-    return acc - jnp.dot(xsums_mat, zeros_eff, preferred_element_type=jnp.float32)
+    return acc - jnp.dot(
+        xsums_mat,
+        zeros_eff,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
 
 
 def _mpq_kernel(
