@@ -227,12 +227,33 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# v5e-tuned (k_step_rows, block_n) per (k, n, w_bit) for the tpu_pair
+# layout — measured sweep (session r2b, 300-iter on-device loops); the
+# TPU analogue of the reference's per-GPU CUTLASS tile-selection tables
+# (binary cutlass layer.py device tables).  Shapes: llama3-8B/llama2-7B
+# projections.  Fallback is the generic heuristic below.
+_PAIR_TILE_TABLE = {
+    (4096, 4096, 4): (4096, 512),    # q/o proj: 707 GB/s (vs 680 default)
+    (4096, 14336, 4): (2048, 2048),  # gate/up: 731 GB/s (vs 651)
+    (14336, 4096, 4): (4096, 2048),  # down:    709 GB/s (vs 679)
+}
+
+
 def _pick_tiles(
     m: int, k: int, n: int, w_bit: int, gs: int,
     k_step_rows: Optional[int] = None, block_n: Optional[int] = None,
+    layout: str = "tpu_tiled",
 ):
     """(bm, gpk, bn): groups-per-K-step sized so the packed block has ≥ 8
     sublane rows and ~≥ `k_step_rows` logical K rows for MXU efficiency."""
+    if (
+        layout == "tpu_pair"
+        and k_step_rows is None
+        and block_n is None
+        and m <= 8
+        and (k, n, w_bit) in _PAIR_TILE_TABLE
+    ):
+        k_step_rows, block_n = _PAIR_TILE_TABLE[(k, n, w_bit)]
     ppw = 32 // w_bit
     bkp = gs // ppw
     g_total = k // gs
@@ -288,7 +309,7 @@ def _mpq_matmul_call(
     n = packed.shape[1]
     gs = group_size
     out_dtype = out_dtype or x.dtype
-    bm, gpk, bn = _pick_tiles(m, k, n, w_bit, gs, k_step_rows, block_n)
+    bm, gpk, bn = _pick_tiles(m, k, n, w_bit, gs, k_step_rows, block_n, layout)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))

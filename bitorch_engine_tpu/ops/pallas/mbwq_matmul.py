@@ -131,7 +131,7 @@ def _mbwq_matmul_call(
         x_parts, packeds, scaless, zeross, seg_statics
     ):
         k_s = x_s.shape[1]
-        _, gpk, _ = _pick_tiles(m, k_s, n, w_bit, gs, k_step_rows, bn)
+        _, gpk, _ = _pick_tiles(m, k_s, n, w_bit, gs, k_step_rows, bn, layout)
         nk = (k_s // gs) // gpk
         ppw = 32 // w_bit
         bkp = gs // ppw

@@ -288,6 +288,25 @@ def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = N
 # ---------------------------------------------------------------------------
 
 
+def _apply_scale_affine(qscales, zeros, scales, g, out_channels, dq_mode, dtype):
+    """Affine-dequantize 4-bit scale codes.
+
+    ``dq_mode=2`` (default, LLaMA-2/3 GBA checkpoints): the affine pair is
+    per (group, dq-group) — shape ``(G, N/dqg, 1)`` broadcasting against
+    ``(G, N/dqg, dqg)`` codes.  ``dq_mode=1`` (LLaMA-1-era GBA): the pair is
+    per output channel — shape ``(1, N, 1)`` applied after flattening codes
+    to ``(G, N)`` (reference buffer layouts ``nbit/layer.py:445-451``).
+    """
+    if dq_mode == 1:
+        q2d = qscales.reshape(g, out_channels)
+        return (q2d - zeros.astype(dtype).reshape(1, out_channels)) * scales.astype(
+            dtype
+        ).reshape(1, out_channels)
+    return ((qscales - zeros.astype(dtype)) * scales.astype(dtype)).reshape(
+        g, out_channels
+    )
+
+
 def decompress_gba_sym(
     qstatistic: Array,
     qzeros_zeros: Array,
@@ -296,6 +315,7 @@ def decompress_gba_sym(
     qscales_scales: Array,
     out_channels: int,
     dtype=jnp.float32,
+    dq_mode: int = 2,
 ) -> Tuple[Array, Array]:
     """Decompress GBA double-quantized scales/zeros (symmetric mode).
 
@@ -303,7 +323,9 @@ def decompress_gba_sym(
     ``qstatistic`` uint8 ``(G, N/dqg, dqg)`` holds the 4-bit quantized scale in
     the high nibble and the 4-bit quantized zero in the low nibble;
     both are dequantized with their own (zero, scale) pairs and flattened to
-    ``(G, N)``.
+    ``(G, N)``.  ``dq_mode`` selects the scale-affine layout (see
+    :func:`_apply_scale_affine`); the zeros affine is per dq-group in both
+    modes.
     """
     qs = qstatistic.astype(jnp.uint8)
     qscales = (qs >> 4).astype(dtype)
@@ -312,9 +334,9 @@ def decompress_gba_sym(
     zeros = ((qzeros - qzeros_zeros.astype(dtype)) * qzeros_scales.astype(dtype)).reshape(
         g, out_channels
     )
-    scales = (
-        (qscales - qscales_zeros.astype(dtype)) * qscales_scales.astype(dtype)
-    ).reshape(g, out_channels)
+    scales = _apply_scale_affine(
+        qscales, qscales_zeros, qscales_scales, g, out_channels, dq_mode, dtype
+    )
     return scales, zeros
 
 
@@ -325,17 +347,18 @@ def decompress_gba_asym(
     out_channels: int,
     w_bit: int,
     dtype=jnp.float32,
+    dq_mode: int = 2,
 ) -> Array:
     """Decompress GBA double-quantized scales (asymmetric mode).
 
     Parity: ``mpq_layer.py:176-183`` — for w_bit==2 the stored qscales get an
     extra trailing axis; zeros stay as the packed int32 ``qzeros``.
+    ``dq_mode`` selects the scale-affine layout (:func:`_apply_scale_affine`).
     """
     qsc = qscales.astype(dtype)
     if w_bit == 2 and qsc.ndim == 2:
         qsc = qsc[..., None]
     g = qsc.shape[0]
-    scales = ((qsc - qscales_zeros.astype(dtype)) * qscales_scales.astype(dtype)).reshape(
-        g, out_channels
+    return _apply_scale_affine(
+        qsc, qscales_zeros, qscales_scales, g, out_channels, dq_mode, dtype
     )
-    return scales

@@ -75,6 +75,20 @@ def _is_q(x):
     return isinstance(x, QTensorBase)
 
 
+def _galore_eligible(leaf, rank: int) -> bool:
+    """GaLore applies to MPQ tensors AND plain fp matrices, matching the
+    reference which projects any param group carrying ``rank``
+    (``diode_beta.py:133-139``) — its LLM example puts both the MPQ qweights
+    and the fp projections in such groups.  1-D params (biases, norms) and
+    matrices smaller than the rank are left full-rank."""
+    if isinstance(leaf, MPQTensor):
+        return True
+    if isinstance(leaf, QTensorBase):
+        return False
+    shape = getattr(leaf, "shape", ())
+    return len(shape) == 2 and min(shape) > rank
+
+
 def _leaf_init(leaf, key):
     if isinstance(leaf, BinaryQTensor):
         w = leaf.data.astype(jnp.float32)
@@ -111,14 +125,17 @@ def diode_init(params, seed: int = 0, hp: Optional[DiodeHyperParams] = None) -> 
     states = []
     for leaf, key in zip(leaves, keys):
         st = _leaf_init(leaf, key)
-        if hp.galore is not None and isinstance(leaf, MPQTensor):
-            st["galore"] = galore_init(leaf.logical_shape, hp.galore.rank)
+        if hp.galore is not None and _galore_eligible(leaf, hp.galore.rank):
+            shape = (
+                leaf.logical_shape if isinstance(leaf, MPQTensor) else leaf.shape
+            )
+            st["galore"] = galore_init(shape, hp.galore.rank)
             # moments live in the projected space
             gs = st["galore"]
             pshape = (
-                (leaf.logical_shape[0], gs.ortho.shape[0])
+                (shape[0], gs.ortho.shape[0])
                 if gs.right
-                else (gs.ortho.shape[1], leaf.logical_shape[1])
+                else (gs.ortho.shape[1], shape[1])
             )
             st["exp_avg_l"] = jnp.zeros(pshape, jnp.float32)
             st["exp_avg_s"] = jnp.zeros(pshape, jnp.float32)
@@ -144,7 +161,13 @@ def _adamw_norm_grad(grad, st, hp, step):
 
 def _update_fp(param, grad, st, hp, step):
     g = grad.astype(jnp.float32)
+    galore_state = st.get("galore")
+    if galore_state is not None:
+        g, galore_state = galore_project(galore_state, g, step, hp.galore)
     norm_grad, step_size, st = _adamw_norm_grad(g, st, hp, step)
+    if galore_state is not None:
+        norm_grad = galore_project_back(galore_state, norm_grad, hp.galore)
+        st = {**st, "galore": galore_state}
     w = param.astype(jnp.float32) - step_size * norm_grad
     if hp.weight_decay > 0.0:
         w = w - hp.lr * hp.weight_decay * w

@@ -7,8 +7,11 @@ optimizer moments and projected back before the weight update.
 
 TPU-native notes: the SVD runs under jit via ``jnp.linalg.svd`` on fp32; the
 refresh is a ``lax.cond`` so the step stays a single compiled function.
-``proj_type`` 'std' picks the side by shape like the reference
-(``galore_projector.py:40-49``).
+Orientation follows the reference 'std' rule exactly
+(``galore_projector.py:28-37``): tall-or-square gradients
+(``shape[0] >= shape[1]``) project RIGHT (``g @ ortho.T``, compressing the
+column space); wide gradients project LEFT.  Pinned by
+``tests/test_galore.py::test_orientation_matches_reference_std_rule``.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def _orthogonal_factor(grad: Array, rank: int, right: bool) -> Array:
 
 def galore_init(grad_shape, rank: int) -> GaLoreState:
     m, n = grad_shape
-    right = n >= m  # project the larger side, parity galore_projector.py:40-49
+    right = m >= n  # reference 'std' rule, galore_projector.py:28-37
     if right:
         ortho = jnp.zeros((min(rank, n), n), jnp.float32)
     else:
@@ -55,7 +58,11 @@ def galore_init(grad_shape, rank: int) -> GaLoreState:
 def galore_project(state: GaLoreState, grad: Array, step: Array, cfg: GaLoreConfig):
     """Returns (projected_grad, new_state); refreshes the SVD factor on schedule."""
     rank = state.ortho.shape[0] if state.right else state.ortho.shape[1]
-    refresh = (step % cfg.update_proj_gap) == 0
+    # refresh on schedule OR while uninitialized (all-zero ortho) — the
+    # reference refreshes when ``ortho_matrix is None`` too
+    # (galore_projector.py:30); without this the first gap-1 steps would
+    # project every gradient to zero
+    refresh = ((step % cfg.update_proj_gap) == 0) | ~jnp.any(state.ortho != 0)
 
     def do_refresh(_):
         return _orthogonal_factor(grad, rank, state.right)

@@ -77,7 +77,9 @@ def mpq_from_gba(
     ``qscales``, ``qzeros``, ``qscales_zeros``, ``qscales_scales``,
     ``qzeros_zeros``, ``qzeros_scales``, optionally precomputed ``scales`` /
     ``zeros`` for group_size ≥ 256 where no double quantization is applied,
-    ``mpq_layer.py:173``).
+    ``mpq_layer.py:173``).  ``dq_mode=1`` (LLaMA-1-era GBA) stores the
+    scale-affine per output channel ``(1, N, 1)``; ``dq_mode=2`` per
+    dq-group ``(G, N/dqg, 1)`` (``nbit/layer.py:445-451``).
     """
     n = qweight.shape[1]
     k = qweight.shape[0] * 32 // w_bit
@@ -92,6 +94,7 @@ def mpq_from_gba(
             jnp.asarray(tensors["qscales_scales"]),
             out_channels=n,
             w_bit=w_bit,
+            dq_mode=dq_mode,
         )
         # asym keeps packed int zeros (mpq_layer.py:177)
         return MPQTensor(
@@ -110,6 +113,7 @@ def mpq_from_gba(
             jnp.asarray(tensors["qscales_zeros"]),
             jnp.asarray(tensors["qscales_scales"]),
             out_channels=n,
+            dq_mode=dq_mode,
         )
     return MPQTensor(
         packed=jnp.asarray(np.asarray(qweight, np.int32)),
