@@ -321,3 +321,29 @@ def test_quantize_mbwq_odd_width_strategy():
     d = dequantize_mbwq(qt)
     # quantization error bounded by the per-group scale envelope
     assert float(jnp.max(jnp.abs(d - w))) < float(jnp.max(jnp.abs(w)))
+
+
+def test_mpq_from_gba_dq_mode1():
+    """dq_mode=1 (LLaMA-1-era GBA): per-output-channel scale affine
+    (buffer shape (1, N, 1), reference nbit/layer.py:445-447)."""
+    rng = np.random.default_rng(23)
+    k, n, gs, wb, dqg = 128, 64, 32, 2, 32
+    g = k // gs
+    qweight = rng.integers(-(2**31), 2**31, (k // 32 * wb, n), dtype=np.int64).astype(np.int32)
+    qstat = rng.integers(0, 256, (g, n // dqg, dqg), dtype=np.int64).astype(np.uint8)
+    sc_z = rng.uniform(0, 2, (1, n, 1)).astype(np.float32)
+    sc_s = rng.uniform(0.5, 1.5, (1, n, 1)).astype(np.float32)
+    tensors = {
+        "qstatistic": qstat,
+        "qzeros_zeros": rng.uniform(0, 2, (g, n // dqg, 1)).astype(np.float32),
+        "qzeros_scales": rng.uniform(0.5, 1.5, (g, n // dqg, 1)).astype(np.float32),
+        "qscales_zeros": sc_z,
+        "qscales_scales": sc_s,
+    }
+    qt = ingest.mpq_from_gba(qweight, tensors, w_bit=wb, group_size=gs,
+                             asym=False, dq_mode=1)
+    qs = qstat.astype(np.float32)
+    exp_scales = ((qs // 16).reshape(g, n) - sc_z.reshape(1, n)) * sc_s.reshape(1, n)
+    exp_zeros = ((qs % 16) - tensors["qzeros_zeros"]) * tensors["qzeros_scales"]
+    np.testing.assert_allclose(np.asarray(qt.scales), exp_scales, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(qt.zeros), exp_zeros.reshape(g, n), rtol=1e-6)
