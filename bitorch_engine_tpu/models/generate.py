@@ -144,6 +144,10 @@ class ContinuousBatcher:
         self.active: List[Optional[Request]] = [None] * num_slots
         self.cur_tok = np.zeros((num_slots, 1), np.int32)
         self.queue: List[Request] = []
+        # every request ever submitted and not yet collected by run();
+        # lives here (not in run()) so submit→step()→run() sequences and
+        # submissions made while a drain loop is in flight are all tracked
+        self._all: List[Request] = []
         self._uid = 0
 
         cfg = self.cfg
@@ -231,9 +235,9 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
         self._uid += 1
-        self.queue.append(
-            Request(self._uid, np.asarray(prompt, np.int32), max_new_tokens)
-        )
+        req = Request(self._uid, np.asarray(prompt, np.int32), max_new_tokens)
+        self.queue.append(req)
+        self._all.append(req)
         return self._uid
 
     def _bucket(self, plen: int) -> int:
@@ -247,19 +251,27 @@ class ContinuousBatcher:
         return min(bucket, self.max_len - 1)
 
     def _admit(self):
-        """Fill free slots from the queue.  The FIFO prefix sharing one
-        length-bucket is prefilled in a single batched dispatch (the host
-        sync per prefill dominates serving cost on high-latency links)."""
+        """Fill free slots from the queue.  All queued requests sharing the
+        FIFO head's length-bucket are prefilled in a single batched dispatch
+        (the host sync per prefill dominates serving cost on high-latency
+        links); pulling same-bucket requests from *anywhere* in the queue —
+        not just the contiguous prefix — keeps one long head prompt from
+        splitting the short prompts behind it into separate dispatches.
+        The head is always admitted first, so FIFO priority is preserved."""
         while self.queue and any(r is None for r in self.active):
             free = [s for s in range(self.num_slots) if self.active[s] is None]
             bucket = self._bucket(len(self.queue[0].prompt))
             batch: List[Request] = []
-            while (
-                self.queue
-                and len(batch) < len(free)
-                and self._bucket(len(self.queue[0].prompt)) == bucket
-            ):
-                batch.append(self.queue.pop(0))
+            rest: List[Request] = []
+            for req in self.queue:
+                if (
+                    len(batch) < len(free)
+                    and self._bucket(len(req.prompt)) == bucket
+                ):
+                    batch.append(req)
+                else:
+                    rest.append(req)
+            self.queue = rest
             slots = free[: len(batch)]
             padded = np.zeros((len(batch), bucket), np.int32)
             for i, req in enumerate(batch):
@@ -350,16 +362,20 @@ class ContinuousBatcher:
                 self.cur_tok[s, 0] = int(toks_np[n_steps - 1, s])
 
     def run(self) -> List[Request]:
-        """Drain the queue; returns all completed requests (in submit order)."""
+        """Drain the queue; returns all requests completed during this call
+        (in submit order) — including any that were already in flight from
+        standalone ``step()``/``step_chunk()`` calls."""
         completed: List[Request] = []
 
         def collect():
-            # requests detach from slots when done; track them here
+            # requests detach from slots when done; _all (maintained by
+            # submit) is the durable registry
             for req in list(self._all):
-                if req.done and req not in completed:
+                if req.done:
                     completed.append(req)
+                    self._all.remove(req)
 
-        self._all = list(self.queue)
+        collect()  # requests already finished by standalone step() calls
         while self.queue or any(r is not None for r in self.active):
             self._admit()
             if any(r is not None for r in self.active):

@@ -179,3 +179,61 @@ def test_continuous_batcher_prompt_too_long(tiny):
 
     with _pytest.raises(ValueError, match="max_len"):
         b.run()
+
+
+def test_continuous_batcher_step_then_run_collects_in_flight(tiny):
+    """Requests driven to completion by standalone _admit/step calls must
+    still be returned by a later run() — regression: the request registry
+    used to be created only inside run()."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(8)
+    p1 = rng.integers(0, cfg.vocab_size, size=4).tolist()
+    p2 = rng.integers(0, cfg.vocab_size, size=5).tolist()
+
+    ref = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    ref.submit(p1, max_new_tokens=3)
+    ref.submit(p2, max_new_tokens=3)
+    expect = {r.uid: r.generated for r in ref.run()}
+
+    b = ContinuousBatcher(model, params, num_slots=2, max_len=32)
+    b.submit(p1, max_new_tokens=3)
+    b._admit()
+    b.step()  # partially decode by hand...
+    b.submit(p2, max_new_tokens=3)  # ...submit mid-flight...
+    done = b.run()  # ...then drain
+    assert {r.uid: r.generated for r in done} == expect
+    # a second run() must not re-return already-collected requests
+    assert b.run() == []
+
+
+def test_continuous_batcher_mixed_bucket_admission(tiny):
+    """A long head prompt must not split the short prompts behind it into
+    separate prefill dispatches; outputs stay equal to sequential decode."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(9)
+    # head lands in the 16-bucket, the three behind it in the 8-bucket
+    lens = (12, 3, 4, 5)
+    prompts = [rng.integers(0, cfg.vocab_size, size=l).tolist() for l in lens]
+
+    refs = []
+    for p in prompts:
+        out = generate(model, params, jnp.asarray([p], jnp.int32), max_new_tokens=4)
+        refs.append(np.asarray(out[0, len(p):]).tolist())
+
+    b = ContinuousBatcher(model, params, num_slots=4, max_len=32)
+    calls = {"n": 0}
+    inner = b._prefill_slots
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return inner(*a, **k)
+
+    b._prefill_slots = counting
+    for p in prompts:
+        b.submit(p, max_new_tokens=4)
+    done = b.run()
+    for req, ref in zip(done, refs):
+        assert req.generated == ref, (req.uid, req.generated, ref)
+    # one dispatch for the 16-bucket head + one for the three 8-bucket
+    # prompts pulled together from behind it
+    assert calls["n"] == 2, calls["n"]
