@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .llama import LlamaModel, init_kv_caches
+from .paged_kv import PageAllocator, init_paged_kv_caches
 
 Array = jax.Array
 
@@ -125,12 +126,21 @@ class ContinuousBatcher:
         eos_id: int = -1,
         temperature: float = 0.0,
         decode_chunk: int = 1,
+        kv_pages: Optional[int] = None,
+        kv_page_size: int = 64,
     ):
         """``decode_chunk``: decode T tokens per host sync (one ``lax.scan``
         on device).  T>1 amortizes dispatch/fetch latency — essential for
         high-RTT links, and still saves ~T× host overhead locally — at the
         cost of up to T-1 wasted slot-steps after a mid-chunk EOS (the slot
-        is re-prefilled on the next admit, so correctness is unaffected)."""
+        is re-prefilled on the next admit, so correctness is unaffected).
+
+        ``kv_pages``: enable the paged KV cache with this many pool pages
+        of ``kv_page_size`` tokens each (page 0 is reserved; usable
+        capacity ``(kv_pages-1)*kv_page_size`` tokens, chosen independently
+        of ``num_slots*max_len`` — the dense cache's OOM axis at large
+        batch).  Admission blocks (never mid-decode) when the pool is
+        exhausted; outputs are bit-identical to the dense cache."""
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -139,7 +149,21 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self.temperature = temperature
         self.decode_chunk = max(1, int(decode_chunk))
-        self.caches = init_kv_caches(self.cfg, num_slots, max_len)
+        self.paged = kv_pages is not None
+        if self.paged:
+            if max_len % kv_page_size:
+                raise ValueError(
+                    f"max_len {max_len} must be a multiple of kv_page_size {kv_page_size}"
+                )
+            pages_per_slot = max_len // kv_page_size
+            self.allocator = PageAllocator(
+                kv_pages, kv_page_size, num_slots, pages_per_slot
+            )
+            self.caches = init_paged_kv_caches(
+                self.cfg, kv_pages, kv_page_size, num_slots, pages_per_slot
+            )
+        else:
+            self.caches = init_kv_caches(self.cfg, num_slots, max_len)
         self.positions = np.zeros(num_slots, np.int32)  # next cache position
         self.active: List[Optional[Request]] = [None] * num_slots
         self.cur_tok = np.zeros((num_slots, 1), np.int32)
@@ -233,6 +257,33 @@ class ContinuousBatcher:
 
         self._prefill_slots = _prefill_slots
 
+        @jax.jit
+        def _prefill_slots_paged(params, caches, tokens, table_rows, true_lens):
+            """Paged prefill: no slot gather/scatter — writes land directly
+            in the pool pages named by this admit-wave's table rows."""
+            caches = [c.replace(page_table=table_rows) for c in caches]
+            logits, new_caches = model_.apply(
+                params,
+                tokens,
+                kv_caches=caches,
+                cache_len=jnp.zeros((tokens.shape[0],), jnp.int32),
+            )
+            last = jnp.take_along_axis(
+                logits, (true_lens - 1)[:, None, None], axis=1
+            )[:, 0]
+            return last, new_caches
+
+        self._prefill_slots_paged = _prefill_slots_paged
+
+    def _caches_in(self):
+        """Caches as passed to the jitted step: in paged mode, attach the
+        allocator's current full page table (host-side replace, no copy of
+        the pools)."""
+        if not self.paged:
+            return self.caches
+        tbl = jnp.asarray(self.allocator.table)
+        return [c.replace(page_table=tbl) for c in self.caches]
+
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
         self._uid += 1
         req = Request(self._uid, np.asarray(prompt, np.int32), max_new_tokens)
@@ -263,33 +314,60 @@ class ContinuousBatcher:
             bucket = self._bucket(len(self.queue[0].prompt))
             batch: List[Request] = []
             rest: List[Request] = []
+            pool_full = False
             for req in self.queue:
-                if (
-                    len(batch) < len(free)
+                take = (
+                    not pool_full
+                    and len(batch) < len(free)
                     and self._bucket(len(req.prompt)) == bucket
-                ):
+                )
+                if take and self.paged:
+                    # reserve the request's worst-case pages up front so
+                    # the pool can never run out mid-decode; strict FIFO —
+                    # an exhausted pool blocks the whole wave rather than
+                    # letting small requests starve the head
+                    need = min(
+                        len(req.prompt) + req.max_new_tokens, self.max_len
+                    )
+                    if not self.allocator.alloc(free[len(batch)], need):
+                        pool_full = True
+                        take = False
+                if take:
                     batch.append(req)
                 else:
                     rest.append(req)
             self.queue = rest
+            if not batch:
+                return  # pool exhausted: wait for decode to free pages
             slots = free[: len(batch)]
             padded = np.zeros((len(batch), bucket), np.int32)
             for i, req in enumerate(batch):
                 padded[i, : len(req.prompt)] = req.prompt
             true_lens = np.asarray([len(r.prompt) for r in batch], np.int32)
-            logits, self.caches = self._prefill_slots(
-                self.params,
-                self.caches,
-                jnp.asarray(padded),
-                jnp.asarray(slots, jnp.int32),
-                jnp.asarray(true_lens),
-            )
+            if self.paged:
+                logits, self.caches = self._prefill_slots_paged(
+                    self.params,
+                    self.caches,
+                    jnp.asarray(padded),
+                    jnp.asarray(self.allocator.table[slots]),
+                    jnp.asarray(true_lens),
+                )
+            else:
+                logits, self.caches = self._prefill_slots(
+                    self.params,
+                    self.caches,
+                    jnp.asarray(padded),
+                    jnp.asarray(slots, jnp.int32),
+                    jnp.asarray(true_lens),
+                )
             nxt_np = np.asarray(jnp.argmax(logits, -1))
             for i, (s, req) in enumerate(zip(slots, batch)):
                 nxt = int(nxt_np[i])
                 req.generated.append(nxt)
                 if nxt == self.eos_id or req.max_new_tokens <= 1:
                     req.done = True
+                    if self.paged:
+                        self.allocator.free_slot(s)
                     continue  # slot stays free for the next admit round
                 self.active[s] = req
                 self.positions[s] = len(req.prompt)
@@ -303,7 +381,7 @@ class ContinuousBatcher:
         nxt, self.caches, self._key = self._decode(
             self.params,
             jnp.asarray(self.cur_tok),
-            self.caches,
+            self._caches_in(),
             jnp.asarray(self.positions),
             active_mask,
             self._key,
@@ -324,6 +402,8 @@ class ContinuousBatcher:
                 req.done = True
                 self.active[s] = None
                 self.positions[s] = 0
+                if self.paged:
+                    self.allocator.free_slot(s)
 
     def step_chunk(self, n_steps: int):
         """``n_steps`` decode steps in one device dispatch (lax.scan), then
@@ -332,7 +412,7 @@ class ContinuousBatcher:
         toks_seq, self.caches, _, self._key = self._decode_chunk(
             self.params,
             jnp.asarray(self.cur_tok),
-            self.caches,
+            self._caches_in(),
             jnp.asarray(self.positions),
             active_mask,
             self._key,
@@ -357,6 +437,8 @@ class ContinuousBatcher:
                     req.done = True
                     self.active[s] = None
                     self.positions[s] = 0
+                    if self.paged:
+                        self.allocator.free_slot(s)
                     break
             else:
                 self.cur_tok[s, 0] = int(toks_np[n_steps - 1, s])
@@ -378,6 +460,15 @@ class ContinuousBatcher:
         collect()  # requests already finished by standalone step() calls
         while self.queue or any(r is not None for r in self.active):
             self._admit()
+            if self.queue and not any(r is not None for r in self.active):
+                # nothing running and nothing admitted: the page pool is
+                # too small for the queue head — fail loudly, don't spin
+                head = self.queue[0]
+                raise RuntimeError(
+                    f"KV page pool too small for request uid={head.uid} "
+                    f"(prompt {len(head.prompt)} + max_new {head.max_new_tokens} "
+                    f"tokens); grow kv_pages"
+                )
             if any(r is not None for r in self.active):
                 if self.decode_chunk > 1:
                     # fixed chunk length: n_steps is a static jit arg, so a

@@ -188,9 +188,49 @@ class LlamaAttention(nn.Module):
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
 
+        from .paged_kv import PagedKV, paged_write_positions
+
         kv_quant = cfg.kv_cache_dtype == "int8" and kv_cache is not None
         k_scale_all = v_scale_all = None
-        if kv_cache is not None:
+
+        def quantize_kv(u):
+            amax = jnp.max(jnp.abs(u.astype(jnp.float32)), axis=-1)
+            scale = jnp.maximum(amax, 1e-6) / 127.0
+            q8 = jnp.clip(
+                jnp.round(u.astype(jnp.float32) / scale[..., None]), -127, 127
+            ).astype(jnp.int8)
+            return q8, scale.astype(jnp.float32)
+
+        if isinstance(kv_cache, PagedKV):
+            # paged cache: scatter the new tokens into pool pages, then
+            # gather this slot-batch's pages into a dense view — identical
+            # attention math to the dense cache (bit-exact under an
+            # identity page mapping; see models/paged_kv.py)
+            page, off = paged_write_positions(kv_cache, cache_len, b, s)
+            tbl = kv_cache.page_table
+
+            def gather(pool):
+                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, ...)
+                return g.reshape((b, kv_cache.view_len) + pool.shape[2:])
+
+            if kv_quant:
+                k8, ks = quantize_kv(k)
+                v8, vs_ = quantize_kv(v)
+                kp = kv_cache.k_pool.at[page, off].set(k8)
+                vp = kv_cache.v_pool.at[page, off].set(v8)
+                ksp = kv_cache.k_scale.at[page, off].set(ks)
+                vsp = kv_cache.v_scale.at[page, off].set(vs_)
+                new_cache = kv_cache.replace(
+                    k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
+                )
+                k_scale_all, v_scale_all = gather(ksp), gather(vsp)
+            else:
+                kp = kv_cache.k_pool.at[page, off].set(k.astype(kv_cache.k_pool.dtype))
+                vp = kv_cache.v_pool.at[page, off].set(v.astype(kv_cache.v_pool.dtype))
+                new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
+            k_all, v_all = gather(kp), gather(vp)
+            kv_len = kv_cache.view_len
+        elif kv_cache is not None:
 
             def write(cache, update, positions_):
                 if jnp.ndim(positions_) == 0:
@@ -207,19 +247,8 @@ class LlamaAttention(nn.Module):
 
             if kv_quant:
                 ck, cks, cv, cvs = kv_cache  # int8 (b,L,nkv,hd) + fp scales (b,L,nkv)
-
-                def quantize(u):
-                    amax = jnp.max(jnp.abs(u.astype(jnp.float32)), axis=-1)
-                    scale = jnp.maximum(amax, 1e-6) / 127.0
-                    q = jnp.clip(
-                        jnp.round(u.astype(jnp.float32) / scale[..., None]),
-                        -127,
-                        127,
-                    ).astype(jnp.int8)
-                    return q, scale.astype(jnp.float32)
-
-                k8, ks = quantize(k)
-                v8, vs_ = quantize(v)
+                k8, ks = quantize_kv(k)
+                v8, vs_ = quantize_kv(v)
                 ck = write(ck, k8, cache_len)
                 cks = write(cks, ks, cache_len)
                 cv = write(cv, v8, cache_len)

@@ -1,0 +1,166 @@
+"""Paged (block) KV cache: decouple KV capacity from slot count.
+
+Greenfield — the reference has no KV cache at all (SURVEY.md §0 "no
+serving system, no KV-cache"); this is the TPU-side fix for the dense
+cache's ``slots × max_len`` allocation, which OOMs a v5e at batch 64
+(BENCH_NOTES "decode throughput vs batch").
+
+Design (TPU-first, static shapes throughout):
+
+* one **page pool** per layer — ``(num_pages, page_size, kv_heads,
+  head_dim)`` for K and V (int8 pools + fp32 per-position scale pools in
+  the int8 serving config) — shared by every slot;
+* a **page table** ``(slots, pages_per_slot) int32`` mapping each slot's
+  logical cache blocks to pool pages.  The table is tiny and host-managed
+  (:class:`PageAllocator`); it rides into the jitted step as a normal
+  array argument, so remapping pages never recompiles;
+* **page 0 is the null page**: never allocated, it absorbs writes from
+  inactive lock-step slots and backs unmapped table entries.  Reads of
+  garbage positions are already masked by the attention ``cache_len``
+  mask, so null-page contents are inert;
+* writes scatter the new token's KV at ``(table[pos // ps], pos % ps)``;
+  reads gather the slot's pages into a dense ``(b, P*ps, ...)`` view that
+  feeds the exact same attention math as the dense cache — with an
+  identity mapping the result is bit-identical, which is the equivalence
+  the tests pin.
+
+Capacity sizing: the pool holds ``num_pages * page_size`` tokens total,
+chosen independently of ``slots * max_len``.  The batcher's admission
+control reserves a request's worst-case pages up front and blocks
+admission (not mid-decode) when the pool is exhausted, so a too-small
+pool degrades throughput, never correctness.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class PagedKV:
+    """One layer's paged KV cache.
+
+    ``k_scale``/``v_scale`` are ``None`` in bf16 mode; in int8 mode they
+    hold fp32 per-position scales ``(num_pages, page_size, kv_heads)``.
+    ``page_table`` ``(b, pages_per_slot) int32`` is shared (same device
+    buffer) across layers.
+    """
+
+    k_pool: Array
+    v_pool: Array
+    k_scale: Optional[Array]
+    v_scale: Optional[Array]
+    page_table: Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pool.shape[1]
+
+    @property
+    def view_len(self) -> int:
+        return self.page_table.shape[1] * self.page_size
+
+
+def init_paged_kv_caches(
+    cfg,
+    num_pages: int,
+    page_size: int,
+    slots: int,
+    pages_per_slot: int,
+) -> List[PagedKV]:
+    """Allocate per-layer page pools + one shared identity-free page table.
+
+    ``num_pages`` includes the reserved null page 0; usable capacity is
+    ``(num_pages - 1) * page_size`` tokens.
+    """
+    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    table = jnp.zeros((slots, pages_per_slot), jnp.int32)
+    caches = []
+    for _ in range(cfg.num_layers):
+        if cfg.kv_cache_dtype == "int8":
+            sshape = (num_pages, page_size, cfg.num_kv_heads)
+            caches.append(
+                PagedKV(
+                    k_pool=jnp.zeros(shape, jnp.int8),
+                    v_pool=jnp.zeros(shape, jnp.int8),
+                    k_scale=jnp.zeros(sshape, jnp.float32),
+                    v_scale=jnp.zeros(sshape, jnp.float32),
+                    page_table=table,
+                )
+            )
+        else:
+            caches.append(
+                PagedKV(
+                    k_pool=jnp.zeros(shape, cfg.dtype),
+                    v_pool=jnp.zeros(shape, cfg.dtype),
+                    k_scale=None,
+                    v_scale=None,
+                    page_table=table,
+                )
+            )
+    return caches
+
+
+def paged_write_positions(cache: PagedKV, cache_len, b: int, s: int):
+    """(page, offset) int32 arrays of shape (b, s) for writing ``s`` new
+    tokens per slot starting at each slot's ``cache_len``."""
+    ps = cache.page_size
+    step = jnp.arange(s, dtype=jnp.int32)
+    if jnp.ndim(cache_len) == 0:
+        pos = jnp.broadcast_to(cache_len + step, (b, s)).astype(jnp.int32)
+    else:
+        pos = cache_len[:, None].astype(jnp.int32) + step[None, :]
+    blk = jnp.minimum(pos // ps, cache.page_table.shape[1] - 1)
+    page = jnp.take_along_axis(cache.page_table, blk, axis=1)  # (b, s)
+    return page, pos % ps
+
+
+class PageAllocator:
+    """Host-side free-list page allocator + slot page-table bookkeeping.
+
+    Page 0 is the null page and never handed out.  ``table`` rows of
+    inactive slots point at page 0.
+    """
+
+    def __init__(self, num_pages: int, page_size: int, slots: int, pages_per_slot: int):
+        self.page_size = page_size
+        self.pages_per_slot = pages_per_slot
+        self.free: List[int] = list(range(num_pages - 1, 0, -1))  # pop() → page 1 first
+        self.table = np.zeros((slots, pages_per_slot), np.int32)
+        self._owned: List[List[int]] = [[] for _ in range(slots)]
+
+    def pages_needed(self, tokens: int) -> int:
+        return max(1, math.ceil(tokens / self.page_size))
+
+    def can_alloc(self, tokens: int) -> bool:
+        return len(self.free) >= self.pages_needed(tokens)
+
+    def alloc(self, slot: int, tokens: int) -> bool:
+        """Reserve enough pages for ``tokens`` cache positions on ``slot``.
+        Returns False (allocating nothing) if the pool is exhausted."""
+        n = self.pages_needed(tokens)
+        if n > self.pages_per_slot:
+            raise ValueError(
+                f"request needs {n} pages > pages_per_slot {self.pages_per_slot}"
+            )
+        if len(self.free) < n:
+            return False
+        self.free_slot(slot)
+        pages = [self.free.pop() for _ in range(n)]
+        self._owned[slot] = pages
+        self.table[slot] = 0
+        self.table[slot, : len(pages)] = pages
+        return True
+
+    def free_slot(self, slot: int):
+        self.free.extend(reversed(self._owned[slot]))
+        self._owned[slot] = []
+        self.table[slot] = 0
