@@ -128,6 +128,7 @@ class ContinuousBatcher:
         decode_chunk: int = 1,
         kv_pages: Optional[int] = None,
         kv_page_size: int = 64,
+        mesh=None,
     ):
         """``decode_chunk``: decode T tokens per host sync (one ``lax.scan``
         on device).  T>1 amortizes dispatch/fetch latency — essential for
@@ -140,7 +141,17 @@ class ContinuousBatcher:
         capacity ``(kv_pages-1)*kv_page_size`` tokens, chosen independently
         of ``num_slots*max_len`` — the dense cache's OOM axis at large
         batch).  Admission blocks (never mid-decode) when the pool is
-        exhausted; outputs are bit-identical to the dense cache."""
+        exhausted; outputs are bit-identical to the dense cache.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with ('dp', ..., 'tp') axes turns
+        this into the **multi-host-shaped serving engine** (BASELINE north
+        star "continuous batching across hosts"): slots (and the dense
+        caches' batch axis / the page table's slot axis) shard over 'dp',
+        params and KV heads over 'tp', and the paged allocator hands each
+        dp group pages from its own range so page gathers never cross dp
+        shards.  Caller passes params already sharded (e.g. via
+        ``llama_sharding.shard_llama_params``).  Outputs are bit-identical
+        to the unsharded batcher (tested across mesh shapes)."""
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -149,6 +160,10 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self.temperature = temperature
         self.decode_chunk = max(1, int(decode_chunk))
+        self.mesh = mesh
+        dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+        if mesh is not None and num_slots % dp:
+            raise ValueError(f"num_slots {num_slots} not divisible by dp {dp}")
         self.paged = kv_pages is not None
         if self.paged:
             if max_len % kv_page_size:
@@ -157,13 +172,34 @@ class ContinuousBatcher:
                 )
             pages_per_slot = max_len // kv_page_size
             self.allocator = PageAllocator(
-                kv_pages, kv_page_size, num_slots, pages_per_slot
+                kv_pages, kv_page_size, num_slots, pages_per_slot, dp_groups=dp
             )
             self.caches = init_paged_kv_caches(
                 self.cfg, kv_pages, kv_page_size, num_slots, pages_per_slot
             )
         else:
             self.caches = init_kv_caches(self.cfg, num_slots, max_len)
+
+        self._tok_sharding = self._vec_sharding = self._table_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .llama_sharding import kv_cache_shardings, paged_kv_shardings
+
+            if self.paged:
+                self.caches = jax.device_put(
+                    self.caches, paged_kv_shardings(mesh, self.caches)
+                )
+            else:
+                self.caches = jax.device_put(
+                    self.caches,
+                    kv_cache_shardings(
+                        mesh, self.cfg.num_layers, self.cfg.kv_cache_dtype
+                    ),
+                )
+            self._tok_sharding = NamedSharding(mesh, P("dp", None))
+            self._vec_sharding = NamedSharding(mesh, P("dp"))
+            self._table_sharding = NamedSharding(mesh, P("dp", None))
         self.positions = np.zeros(num_slots, np.int32)  # next cache position
         self.active: List[Optional[Request]] = [None] * num_slots
         self.cur_tok = np.zeros((num_slots, 1), np.int32)
@@ -275,13 +311,18 @@ class ContinuousBatcher:
 
         self._prefill_slots_paged = _prefill_slots_paged
 
+    def _put(self, arr, sharding):
+        if sharding is None:
+            return jnp.asarray(arr)
+        return jax.device_put(np.asarray(arr), sharding)
+
     def _caches_in(self):
         """Caches as passed to the jitted step: in paged mode, attach the
         allocator's current full page table (host-side replace, no copy of
         the pools)."""
         if not self.paged:
             return self.caches
-        tbl = jnp.asarray(self.allocator.table)
+        tbl = self._put(self.allocator.table, self._table_sharding)
         return [c.replace(page_table=tbl) for c in self.caches]
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
@@ -375,14 +416,14 @@ class ContinuousBatcher:
 
     def step(self):
         """One decode step across all active slots."""
-        active_mask = jnp.asarray(
-            [r is not None for r in self.active], jnp.bool_
+        active_mask = self._put(
+            np.asarray([r is not None for r in self.active]), self._vec_sharding
         )
         nxt, self.caches, self._key = self._decode(
             self.params,
-            jnp.asarray(self.cur_tok),
+            self._put(self.cur_tok, self._tok_sharding),
             self._caches_in(),
-            jnp.asarray(self.positions),
+            self._put(self.positions, self._vec_sharding),
             active_mask,
             self._key,
         )
@@ -408,12 +449,14 @@ class ContinuousBatcher:
     def step_chunk(self, n_steps: int):
         """``n_steps`` decode steps in one device dispatch (lax.scan), then
         one host sync to reconcile EOS / quotas / evictions."""
-        active_mask = jnp.asarray([r is not None for r in self.active], jnp.bool_)
+        active_mask = self._put(
+            np.asarray([r is not None for r in self.active]), self._vec_sharding
+        )
         toks_seq, self.caches, _, self._key = self._decode_chunk(
             self.params,
-            jnp.asarray(self.cur_tok),
+            self._put(self.cur_tok, self._tok_sharding),
             self._caches_in(),
-            jnp.asarray(self.positions),
+            self._put(self.positions, self._vec_sharding),
             active_mask,
             self._key,
             n_steps=n_steps,

@@ -135,3 +135,50 @@ def load_llama_params(
 
 def load_llama_from_safetensors(path: str, cfg: LlamaConfig, dtype=jnp.bfloat16):
     return load_llama_params(ingest.load_safetensors(path), cfg, dtype)
+
+
+def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
+    """Convert an fp ``LlamaModel(quantized=False)`` param tree into the
+    structure of ``LlamaModel(cfg_q)``, quantizing each projection kernel.
+
+    The functional analogue of the reference's ``replace_layers`` +
+    ``quantize_linear_with_*`` model surgery (``utils/convert.py:7-196``):
+    the *same trained weights* flow into the quantized structure, which is
+    what the perplexity gate (BASELINE accuracy line) compares against fp.
+    Embedding / norms / tied head pass through untouched.
+    """
+    from ..ops.mbwq_linear import quantize_mbwq
+
+    if cfg_q.mbwq_strategy is not None:
+        bits = [b for b, _ in cfg_q.mbwq_strategy]
+        strategy = {
+            "bits": bits,
+            "bits_prop": [p for _, p in cfg_q.mbwq_strategy],
+            "group_size": {str(b): cfg_q.group_size for b in bits},
+        }
+
+        def qz(kernel):
+            return quantize_mbwq(kernel, strategy)
+
+    else:
+
+        def qz(kernel):
+            return quantize_mpq(
+                kernel,
+                w_bit=cfg_q.w_bit,
+                group_size=cfg_q.group_size,
+                asym=cfg_q.asym,
+            )
+
+    def convert(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for key, val in tree.items():
+                if isinstance(val, dict) and set(val) == {"kernel"}:
+                    out[key] = {"qweight": qz(val["kernel"])}
+                else:
+                    out[key] = convert(val)
+            return out
+        return tree
+
+    return convert(params_fp)

@@ -44,7 +44,38 @@ def shard_llama_params(params, mesh: Mesh, axis: str = "tp"):
     return jax.device_put(params, shardings)
 
 
-def kv_cache_shardings(mesh: Mesh, num_layers: int):
-    """(b, L, kv_heads, d) caches: batch over dp, heads over tp."""
+def kv_cache_shardings(mesh: Mesh, num_layers: int, kv_cache_dtype: str = "bf16"):
+    """(b, L, kv_heads, d) caches: batch over dp, heads over tp.
+
+    int8 caches are per-layer 4-tuples with (b, L, kv_heads) scale arrays.
+    """
     spec = NamedSharding(mesh, P("dp", None, "tp", None))
+    if kv_cache_dtype == "int8":
+        sspec = NamedSharding(mesh, P("dp", None, "tp"))
+        return [(spec, sspec, spec, sspec) for _ in range(num_layers)]
     return [(spec, spec) for _ in range(num_layers)]
+
+
+def paged_kv_shardings(mesh: Mesh, caches):
+    """Shardings for a list of :class:`~..models.paged_kv.PagedKV`.
+
+    Pools shard kv-heads over 'tp' and stay whole on the page axis (the
+    page pool is a global resource; the allocator's ``dp_groups`` layout
+    keeps each dp shard's gathers inside its own page range).  The page
+    table shards its slot axis over 'dp'.
+    """
+    pool = NamedSharding(mesh, P(None, None, "tp", None))
+    scale = NamedSharding(mesh, P(None, None, "tp"))
+    table = NamedSharding(mesh, P("dp", None))
+    out = []
+    for c in caches:
+        out.append(
+            c.replace(
+                k_pool=pool,
+                v_pool=pool,
+                k_scale=None if c.k_scale is None else scale,
+                v_scale=None if c.v_scale is None else scale,
+                page_table=table,
+            )
+        )
+    return out

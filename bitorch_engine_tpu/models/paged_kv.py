@@ -130,37 +130,72 @@ class PageAllocator:
     inactive slots point at page 0.
     """
 
-    def __init__(self, num_pages: int, page_size: int, slots: int, pages_per_slot: int):
+    def __init__(
+        self,
+        num_pages: int,
+        page_size: int,
+        slots: int,
+        pages_per_slot: int,
+        dp_groups: int = 1,
+    ):
+        """``dp_groups > 1``: partition slots and pages into ``dp_groups``
+        contiguous groups and only hand a slot pages from its own group.
+        With the slot axis dp-sharded this keeps every page-gather local to
+        its data-parallel shard — no cross-dp traffic in the decode step —
+        which is the layout the multi-host serving path relies on."""
         self.page_size = page_size
         self.pages_per_slot = pages_per_slot
-        self.free: List[int] = list(range(num_pages - 1, 0, -1))  # pop() → page 1 first
+        self.dp_groups = dp_groups
+        if slots % dp_groups:
+            raise ValueError(f"slots {slots} not divisible by dp_groups {dp_groups}")
+        self._slots_per_group = slots // dp_groups
+        usable = list(range(1, num_pages))
+        per = len(usable) // dp_groups
+        if per == 0:
+            raise ValueError(f"{num_pages} pages cannot cover {dp_groups} dp groups")
+        # stacks: pop() hands out the lowest page of the slot's group first
+        self._free_by_group: List[List[int]] = [
+            list(reversed(usable[g * per : (g + 1) * per])) for g in range(dp_groups)
+        ]
         self.table = np.zeros((slots, pages_per_slot), np.int32)
         self._owned: List[List[int]] = [[] for _ in range(slots)]
+
+    @property
+    def free(self) -> List[int]:
+        return [p for grp in self._free_by_group for p in grp]
+
+    def _group_of(self, slot: int) -> int:
+        return slot // self._slots_per_group
 
     def pages_needed(self, tokens: int) -> int:
         return max(1, math.ceil(tokens / self.page_size))
 
-    def can_alloc(self, tokens: int) -> bool:
-        return len(self.free) >= self.pages_needed(tokens)
+    def can_alloc(self, tokens: int, slot: int = 0) -> bool:
+        grp = self._free_by_group[self._group_of(slot)]
+        return len(grp) >= self.pages_needed(tokens)
 
     def alloc(self, slot: int, tokens: int) -> bool:
-        """Reserve enough pages for ``tokens`` cache positions on ``slot``.
-        Returns False (allocating nothing) if the pool is exhausted."""
+        """Reserve enough pages for ``tokens`` cache positions on ``slot``
+        (from the slot's dp group).  Returns False (allocating nothing) if
+        that group's pages are exhausted."""
         n = self.pages_needed(tokens)
         if n > self.pages_per_slot:
             raise ValueError(
                 f"request needs {n} pages > pages_per_slot {self.pages_per_slot}"
             )
-        if len(self.free) < n:
+        grp = self._free_by_group[self._group_of(slot)]
+        if len(grp) < n:
             return False
         self.free_slot(slot)
-        pages = [self.free.pop() for _ in range(n)]
+        pages = [grp.pop() for _ in range(n)]
         self._owned[slot] = pages
         self.table[slot] = 0
         self.table[slot, : len(pages)] = pages
         return True
 
     def free_slot(self, slot: int):
-        self.free.extend(reversed(self._owned[slot]))
+        self._free_by_group[self._group_of(slot)].extend(
+            reversed(self._owned[slot])
+        )
         self._owned[slot] = []
         self.table[slot] = 0
