@@ -100,6 +100,7 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
     from bitorch_engine_tpu.qtensor import MPQTensor, QTensorBase
 
+    fuse = os.environ.get("BENCH_FUSE", "1") != "0"
     cfg = llama3_8b(
         dtype=jnp.bfloat16,
         w_bit=W_BIT,
@@ -108,6 +109,10 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
         kv_cache_dtype=kv_cache_dtype,
         quantize_embed=kv_cache_dtype == "int8",
         head_w_bit=head_bits,
+        # fused q|k|v and gate|up: one launch each, large-N streaming
+        # (k/v at N=1024 run ~336 GB/s vs ~615 at N>=4096)
+        fuse_qkv=fuse,
+        fuse_gate_up=fuse,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)

@@ -67,6 +67,14 @@ class LlamaConfig:
     # of the tied int8/bf16 embedding table, reading w_bit/8 of the int8
     # bytes.  Embedding lookup stays on the (int8 or bf16) table.
     head_w_bit: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Fused projections: one packed tensor (and one kernel launch) for
+    # q|k|v and for gate|up.  Small-N matmuls waste bandwidth (k/v at
+    # N=1024 stream ~336 GB/s vs ~615 at N≥4096 on v5e), so fusing is the
+    # natural TPU layout; group metadata concatenates along N
+    # (ops/quant.py::concat_mpq).  Off by default: tensor-parallel sharding
+    # splits heads per projection, so the sharded paths keep them separate.
+    fuse_qkv: bool = struct.field(pytree_node=False, default=False)
+    fuse_gate_up: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -180,9 +188,16 @@ class LlamaAttention(nn.Module):
         b, s, _ = x.shape
         hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
 
-        q = _proj(cfg, nh * hd, "q_proj")(x).reshape(b, s, nh, hd)
-        k = _proj(cfg, nkv * hd, "k_proj")(x).reshape(b, s, nkv, hd)
-        v = _proj(cfg, nkv * hd, "v_proj")(x).reshape(b, s, nkv, hd)
+        if cfg.fuse_qkv:
+            qkv = _proj(cfg, (nh + 2 * nkv) * hd, "qkv_proj")(x)
+            q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, s, nkv, hd)
+            v = v.reshape(b, s, nkv, hd)
+        else:
+            q = _proj(cfg, nh * hd, "q_proj")(x).reshape(b, s, nh, hd)
+            k = _proj(cfg, nkv * hd, "k_proj")(x).reshape(b, s, nkv, hd)
+            v = _proj(cfg, nkv * hd, "v_proj")(x).reshape(b, s, nkv, hd)
 
         cos, sin = _rope(positions, hd, cfg.rope_theta)
         q = _apply_rope(q, cos, sin)
@@ -345,8 +360,12 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.cfg
-        gate = _proj(cfg, cfg.intermediate_size, "gate_proj")(x)
-        up = _proj(cfg, cfg.intermediate_size, "up_proj")(x)
+        if cfg.fuse_gate_up:
+            gu = _proj(cfg, 2 * cfg.intermediate_size, "gate_up_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _proj(cfg, cfg.intermediate_size, "gate_proj")(x)
+            up = _proj(cfg, cfg.intermediate_size, "up_proj")(x)
         h = jax.nn.silu(gate.astype(jnp.float32)).astype(cfg.dtype) * up
         return _proj(cfg, cfg.hidden_size, "down_proj")(h)
 
@@ -457,6 +476,53 @@ class LlamaModel(nn.Module):
                 x, embed.T.astype(cfg.dtype), preferred_element_type=jnp.float32
             )
         return logits, (new_caches if kv_caches is not None else None)
+
+
+def fuse_llama_params(params, fuse_qkv: bool = True, fuse_gate_up: bool = True):
+    """Rewrite an unfused param tree for ``fuse_qkv``/``fuse_gate_up`` configs.
+
+    q|k|v (and gate|up) projections concatenate along the output-feature
+    axis — for MPQTensors via :func:`~bitorch_engine_tpu.ops.quant.concat_mpq`
+    (group metadata concatenates with the codes), for fp Dense kernels via
+    plain ``concatenate`` on the N axis.  Output-column independence of the
+    matmul makes the fused model's logits identical to the unfused model's.
+    """
+    from ..ops.quant import concat_mpq
+    from ..qtensor import MPQTensor
+
+    def fuse_group(mod: dict, names, fused_name):
+        if not all(n in mod for n in names):
+            return mod
+        parts = [mod[n]["qweight"] if "qweight" in mod[n] else mod[n] for n in names]
+        mod = {k: v for k, v in mod.items() if k not in names}
+        if all(isinstance(p, MPQTensor) for p in parts):
+            mod[fused_name] = {"qweight": concat_mpq(tuple(parts))}
+        else:
+            kernels = [p["kernel"] for p in parts]
+            mod[fused_name] = {"kernel": jnp.concatenate(kernels, axis=1)}
+        return mod
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if (
+                fuse_qkv
+                and isinstance(v, dict)
+                and {"q_proj", "k_proj", "v_proj"} <= set(v)
+            ):
+                v = fuse_group(v, ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+            if (
+                fuse_gate_up
+                and isinstance(v, dict)
+                and {"gate_proj", "up_proj"} <= set(v)
+            ):
+                v = fuse_group(v, ("gate_proj", "up_proj"), "gate_up_proj")
+            out[k] = walk(v)
+        return out
+
+    return walk(params)
 
 
 def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):

@@ -130,7 +130,12 @@ def load_llama_params(
         if norm is not None
         else jnp.ones((cfg.hidden_size,), jnp.float32)
     }
-    return {"params": out}
+    params = {"params": out}
+    if cfg.fuse_qkv or cfg.fuse_gate_up:
+        from .llama import fuse_llama_params
+
+        params = fuse_llama_params(params, cfg.fuse_qkv, cfg.fuse_gate_up)
+    return params
 
 
 def load_llama_from_safetensors(path: str, cfg: LlamaConfig, dtype=jnp.bfloat16):
@@ -181,4 +186,9 @@ def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
             return out
         return tree
 
-    return convert(params_fp)
+    params = convert(params_fp)
+    if cfg_q.fuse_qkv or cfg_q.fuse_gate_up:
+        from .llama import fuse_llama_params
+
+        params = fuse_llama_params(params, cfg_q.fuse_qkv, cfg_q.fuse_gate_up)
+    return params

@@ -66,15 +66,27 @@ def _kernel_layout(w_bit: int) -> str:
     return "tpu_pair" if w_bit in packing.PAIR_BITS else "tpu_tiled"
 
 
-def relayout_tpu(qt: MPQTensor) -> MPQTensor:
+def relayout_tpu(qt: MPQTensor, meta_dtype=None) -> MPQTensor:
     """Convert to the kernel's canonical form: sym zeros + TPU packing order.
 
     The asym→sym rewrite (``w = s(q-z) = q·s - s·z``) mirrors the reference's
     prepare-time decompression (``mpq_layer.py:163-204``); the row re-layout
     mirrors ``mbwq_trans_qweight``'s load-time shuffle.
+
+    ``meta_dtype``: storage dtype for the group scales/zeros.  The decode
+    step streams this metadata every token alongside the codes (12.5% of the
+    weight bytes at w4g128 when fp32); ``jnp.bfloat16`` halves that stream.
+    The reference's exl2/GPTQ formats store fp16 scales
+    (``matrix_view.cuh``/GPTQ safetensors), so 16-bit metadata is the parity
+    storage width — the kernel upcasts blocks to f32 before use either way.
     """
     target = _kernel_layout(qt.w_bit)
     if qt.layout == target:
+        if meta_dtype is not None and qt.scales.dtype != meta_dtype:
+            return qt.replace(
+                scales=qt.scales.astype(meta_dtype),
+                zeros=qt.zeros if qt.asym else qt.zeros.astype(meta_dtype),
+            )
         return qt
     if qt.group_size % (32 // qt.w_bit) != 0:
         raise NotImplementedError("group_size must be a multiple of 32/w_bit")
@@ -86,7 +98,13 @@ def relayout_tpu(qt: MPQTensor) -> MPQTensor:
         asym = False
     q_int = packing.unpack_rows_layout(qt.packed, qt.w_bit, qt.group_size, qt.layout)
     packed = packing.pack_rows_layout(q_int, qt.w_bit, qt.group_size, target)
-    return qt.replace(packed=packed, zeros=zeros, asym=asym, layout=target)
+    scales = qt.scales
+    if meta_dtype is not None:
+        scales = scales.astype(meta_dtype)
+        zeros = zeros.astype(meta_dtype)
+    return qt.replace(
+        packed=packed, scales=scales, zeros=zeros, asym=asym, layout=target
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -190,6 +190,49 @@ def _group_index(qt: MPQTensor, k: int) -> Array:
     return (jnp.arange(k, dtype=jnp.int32) // qt.group_size)
 
 
+def concat_mpq(parts: Tuple[MPQTensor, ...]) -> MPQTensor:
+    """Concatenate MPQTensors sharing one K along the output-feature axis.
+
+    Group quantization is per (K-group, N-column), so concatenation along N
+    commutes with quantization: ``quantize(concat(W_i)) == concat(quantize(W_i))``
+    column-for-column.  Used to build fused projections (qkv, gate|up) whose
+    single kernel launch streams at large-N efficiency — the TPU analogue of
+    the reference engaging one fused GEMV per projection
+    (``mpq_linear_cuda_kernel.cu:67-458``); on TPU the launch/tile overhead
+    of small-N matmuls (k/v at N=1024 stream ~336 GB/s vs ~615 at N≥4096)
+    makes fusion the natural layout.
+
+    All parts must agree on K, w_bit, group_size, asym, layout and code_bits;
+    act-order parts (g_idx/q_perm) are rejected — their per-matrix row maps
+    can't share one launch.
+    """
+    first = parts[0]
+    for p in parts[1:]:
+        if (
+            p.w_bit != first.w_bit
+            or p.group_size != first.group_size
+            or p.asym != first.asym
+            or p.layout != first.layout
+            or p.code_bits != first.code_bits
+            or p.in_features != first.in_features
+        ):
+            raise ValueError("concat_mpq: parts disagree on quant structure")
+    if any(p.g_idx is not None or p.q_perm is not None for p in parts):
+        # per-matrix act-order row maps can't share one fused kernel launch
+        raise ValueError(
+            "concat_mpq: parts with g_idx/q_perm (act-order) cannot be fused"
+        )
+    packed = jnp.concatenate([p.packed for p in parts], axis=1)
+    scales = jnp.concatenate([p.scales for p in parts], axis=1)
+    zeros = jnp.concatenate([p.zeros for p in parts], axis=1)
+    shadow = None
+    if all(p.grad_shadow is not None for p in parts):
+        shadow = jnp.concatenate([p.grad_shadow for p in parts], axis=1)
+    return first.replace(
+        packed=packed, scales=scales, zeros=zeros, grad_shadow=shadow
+    )
+
+
 @functools.partial(jax.jit, static_argnames=('w_bit', 'group_size', 'asym', 'code_bits'))
 def quantize_mpq(
     weight: Array,

@@ -93,23 +93,29 @@ def prepare_for_training(params):
     )
 
 
-def relayout_params_for_tpu(params):
+def relayout_params_for_tpu(params, meta_dtype=None):
     """Convert every MPQ/MBWQ tensor to the Pallas kernel's tpu_tiled layout.
 
     MUST run once at load/prepare time (the analogue of the reference's
     ``prepare_params``): the kernel auto-relayouts gptq-layout tensors for
     correctness, but inside a jitted step that conversion re-executes every
     call — on a 7B model that is ~10 GB of extra traffic per decoded token.
+
+    ``meta_dtype=jnp.bfloat16`` stores group scales/zeros 16-bit (the
+    reference's exl2/GPTQ storage width), halving the per-token metadata
+    stream — see :func:`relayout_tpu`.
     """
     from ..ops.pallas.dequant_matmul import relayout_tpu
     from ..qtensor import MBWQTensor, MPQTensor
 
     def f(leaf):
         if isinstance(leaf, MPQTensor):
-            return relayout_tpu(leaf)
+            return relayout_tpu(leaf, meta_dtype=meta_dtype)
         if isinstance(leaf, MBWQTensor):
             return leaf.replace(
-                segments=tuple(relayout_tpu(s) for s in leaf.segments)
+                segments=tuple(
+                    relayout_tpu(s, meta_dtype=meta_dtype) for s in leaf.segments
+                )
             )
         return leaf
 

@@ -6,8 +6,10 @@ layer is a 1/4/8-bit quantized linear, trained end-to-end with gradients
 flowing to the quantized weights and DiodeMix updating them directly.
 
 Dataset: loads MNIST from an IDX/npz file if present (``--data-dir``,
-zero-egress sandbox has no downloader); otherwise falls back to a synthetic
-10-class "digits-like" task so the example always runs.
+zero-egress sandbox has no downloader); otherwise uses the real handwritten
+digits bundled with scikit-learn (1797 8x8 scans — UCI optdigits), upsampled
+to 28x28 so the model shapes match MNIST; a synthetic task remains as the
+last-resort fallback.
 
 Usage:
     python examples/mnist/train_mnist.py --bits 1 --epochs 3 [--cpu]
@@ -52,6 +54,29 @@ def load_mnist(data_dir):
     return None
 
 
+def load_sklearn_digits(seed=0):
+    """Real handwritten digits shipped inside scikit-learn (no network).
+
+    1797 8x8 grayscale scans of hand-written digits (UCI optdigits test set).
+    Upsampled 8x8 -> 28x28 by pixel repetition + crop so the example keeps
+    MNIST-shaped inputs. Returns None if sklearn is unavailable.
+    """
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError:
+        return None
+    d = load_digits()
+    x = d.data.reshape(-1, 8, 8).astype(np.float32) / 16.0
+    # 8x8 -> 32x32 by 4x pixel repetition, center-crop to 28x28
+    x = np.repeat(np.repeat(x, 4, axis=1), 4, axis=2)[:, 2:30, 2:30]
+    y = d.target.astype(np.int32)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(x))
+    x, y = x[perm], y[perm]
+    n_test = len(x) // 5
+    return (x[n_test:] * 255.0, y[n_test:]), (x[:n_test] * 255.0, y[:n_test])
+
+
 def synthetic_digits(n_train=8000, n_test=2000, seed=0):
     """Synthetic 10-class 28x28 task (prototype digits + noise + shifts)."""
     rng = np.random.default_rng(seed)
@@ -94,7 +119,11 @@ def main():
 
     data = load_mnist(args.data_dir)
     if data is None:
-        print("# MNIST files not found; using the synthetic fallback task")
+        data = load_sklearn_digits()
+        if data is not None:
+            print("# MNIST files not found; using real sklearn digits (8x8 scans -> 28x28)")
+    if data is None:
+        print("# no real dataset available; using the synthetic fallback task")
         (xtr, ytr), (xte, yte) = synthetic_digits()
     else:
         (xtr, ytr), (xte, yte) = data

@@ -246,3 +246,57 @@ def test_w4_lm_head_decode():
     np.testing.assert_allclose(
         np.asarray(pre_logits), np.asarray(logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_qkv_gate_up_exact():
+    """Fused q|k|v and gate|up projections are the unfused model, exactly.
+
+    concat-then-matmul computes the same per-output-column dot products as
+    separate matmuls (reduction order per column depends only on K), and
+    quantize-then-concat == concat-then-quantize for group quantization, so
+    the fused model must reproduce the unfused logits bit-for-bit.
+    """
+    from bitorch_engine_tpu.models.llama import fuse_llama_params
+
+    cfg = tiny_llama()
+    model = LlamaModel(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), tokens)
+    ref_logits, _ = jax.jit(model.apply)(params, tokens)
+
+    cfg_f = tiny_llama(fuse_qkv=True, fuse_gate_up=True)
+    model_f = LlamaModel(cfg_f)
+    params_f = fuse_llama_params(params)
+    fused_logits, _ = jax.jit(model_f.apply)(params_f, tokens)
+    np.testing.assert_array_equal(np.asarray(ref_logits), np.asarray(fused_logits))
+
+    # decode path with int8 KV caches
+    cfg8 = tiny_llama(kv_cache_dtype="int8")
+    cfg8_f = tiny_llama(kv_cache_dtype="int8", fuse_qkv=True, fuse_gate_up=True)
+    m8, m8f = LlamaModel(cfg8), LlamaModel(cfg8_f)
+    caches = init_kv_caches(cfg8, batch=2, max_len=16)
+    caches_f = init_kv_caches(cfg8_f, batch=2, max_len=16)
+    for i in range(4):
+        tok = tokens[:, i : i + 1]
+        l_ref, caches = decode_step(m8, params, tok, caches, jnp.asarray(i, jnp.int32))
+        l_f, caches_f = decode_step(
+            m8f, params_f, tok, caches_f, jnp.asarray(i, jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_f))
+
+
+def test_fused_fp_dense_exact():
+    """fuse_llama_params also fuses fp (non-quantized) Dense kernels."""
+    from bitorch_engine_tpu.models.llama import fuse_llama_params
+
+    cfg = tiny_llama(quantized=False)
+    model = LlamaModel(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 4), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(2), tokens)
+    ref_logits, _ = model.apply(params, tokens)
+
+    cfg_f = tiny_llama(quantized=False, fuse_qkv=True, fuse_gate_up=True)
+    fused_logits, _ = LlamaModel(cfg_f).apply(fuse_llama_params(params), tokens)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(fused_logits), rtol=1e-6, atol=1e-6
+    )

@@ -200,3 +200,44 @@ def test_mbwq_uneven_props_group_size_fits():
     assert sum(s.in_features for s in qt.segments) == 768
     d = dequantize_mbwq(qt)
     assert d.shape == (768, 64)
+
+
+@pytest.mark.parametrize("w_bit", [2, 4, 8])
+def test_kernel_bf16_metadata(w_bit):
+    """bf16-stored scales/zeros (relayout_tpu(meta_dtype=bf16)) stay within
+    the metadata rounding budget: max relative error bounded by bf16's
+    2^-9 ulp on the scale (plus code quantization already in both sides).
+
+    Parity note: the reference's exl2/GPTQ formats store fp16 scales
+    (``matrix_view.cuh``), so 16-bit metadata is the reference storage width
+    — fp32 was this engine's own (more conservative) choice.
+    """
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    m, k, n, gs = 8, 512, 256, 128
+    x, qt = _mk(m, k, n, gs, w_bit)
+    qt16 = relayout_tpu(qt, meta_dtype=jnp.bfloat16)
+    assert qt16.scales.dtype == jnp.bfloat16
+    out16 = mpq_matmul_pallas(x, qt16, interpret=True)
+    ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
+    # bf16 metadata rounds each group scale by <=2^-9 relative; the output
+    # error is bounded by that times the per-group contribution magnitude
+    # bf16 metadata rounds scales AND zeros by <=2^-9 relative; the zeros
+    # term multiplies Σ_k x, so the end-to-end budget is ~1% of the output
+    # range (vs the ~3%-granularity w4 code quantization both sides share)
+    rng = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(ref), rtol=1e-2, atol=1e-2 * rng
+    )
+
+
+def test_relayout_meta_dtype_on_already_relayouted():
+    """meta_dtype applies even when the packing layout is already canonical."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    _, qt = _mk(1, 256, 128, 64, 4)
+    qt1 = relayout_tpu(qt)
+    assert qt1.scales.dtype == jnp.float32
+    qt2 = relayout_tpu(qt1, meta_dtype=jnp.bfloat16)
+    assert qt2.scales.dtype == jnp.bfloat16 and qt2.zeros.dtype == jnp.bfloat16
+    assert qt2.layout == qt1.layout
