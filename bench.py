@@ -97,10 +97,10 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     9.008 vs 9.273 ms same-process A/B).
     """
     from bitorch_engine_tpu.models.llama import LlamaModel, llama3_8b, init_kv_caches
-    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
-    from bitorch_engine_tpu.qtensor import MPQTensor, QTensorBase
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
 
     fuse = os.environ.get("BENCH_FUSE", "1") != "0"
+    head_pad = int(os.environ.get("BENCH_HEAD_PAD", "2048"))
     cfg = llama3_8b(
         dtype=jnp.bfloat16,
         w_bit=W_BIT,
@@ -113,15 +113,19 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
         # (k/v at N=1024 run ~336 GB/s vs ~615 at N>=4096)
         fuse_qkv=fuse,
         fuse_gate_up=fuse,
+        # pad head N so the kernel gets 2048-wide N blocks (v5e sweep:
+        # 605us @ bn=256 unpadded -> 380us padded)
+        head_pad_to=head_pad if head_bits else 0,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
-    params = jax.tree_util.tree_map(
-        lambda l: relayout_tpu(l) if isinstance(l, MPQTensor) else l,
-        params,
-        is_leaf=lambda x: isinstance(x, QTensorBase),
+    # bf16-stored group metadata (exl2/GPTQ storage width) halves the
+    # 12.5% metadata share of the weight stream; BENCH_META=fp32 restores
+    meta = (
+        None if os.environ.get("BENCH_META", "bf16") == "fp32" else jnp.bfloat16
     )
+    params = relayout_params_for_tpu(params, meta_dtype=meta)
     caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
 
     @jax.jit
@@ -182,17 +186,22 @@ def main():
         label = "llama3_8b_w4g128_decode_tokens_per_sec_per_chip_projected"
         unit = f"tokens/s/chip (projected from projection kernels, batch={BATCH})"
 
-    # roofline for the serving config: 4-bit packed weights + fp32 group
-    # metadata + int8 lm_head + int8 KV cache, all read once per step
-    packed_bytes = sum(k * n * W_BIT // 8 + 2 * (k // GROUP) * n * 4 for _, k, n in PROJS)
+    # roofline for the serving config: 4-bit packed weights + group metadata
+    # (bf16 by default) + quantized lm_head + int8 KV cache, read once/step
+    meta_b = 4 if os.environ.get("BENCH_META", "bf16") == "fp32" else 2
+    packed_bytes = sum(
+        k * n * W_BIT // 8 + 2 * (k // GROUP) * n * meta_b for _, k, n in PROJS
+    )
     kv_heads, head_dim = 8, 128
     kv_bytes = 2 * BATCH * CACHE_LEN * kv_heads * head_dim * 1 * LAYERS
     head_bits_rl = int(os.environ.get("BENCH_HEAD_BITS", "4"))
     if run_e2e and head_bits_rl in (2, 4):
-        # packed codes + fp32 scales/zeros per group row
+        hp = int(os.environ.get("BENCH_HEAD_PAD", "2048"))
+        n_head = (VOCAB + hp - 1) // hp * hp if hp else VOCAB
+        # packed codes + scales/zeros per group row
         lm_bytes = (
-            VOCAB * HIDDEN * head_bits_rl // 8
-            + 2 * (HIDDEN // GROUP) * VOCAB * 4
+            n_head * HIDDEN * head_bits_rl // 8
+            + 2 * (HIDDEN // GROUP) * n_head * meta_b
         )
     else:
         lm_bytes = VOCAB * HIDDEN * 1

@@ -216,4 +216,16 @@ def run_ppl_gate(
         ppl = perplexity(LlamaModel(cfg_q), params_q, tokens)
         out[f"ppl_{name}"] = ppl
         out[f"rel_delta_{name}"] = (ppl - out["ppl_fp"]) / out["ppl_fp"]
+
+    # bf16-stored group metadata (the serving relayout): its rounding must be
+    # noise next to the code-quantization damage itself
+    from ..utils.convert import relayout_params_for_tpu
+
+    cfg_q = quant_cfgs["w4g64"]
+    params_q = relayout_params_for_tpu(
+        quantize_llama_params(params_fp, cfg_q), meta_dtype=jnp.bfloat16
+    )
+    ppl = perplexity(LlamaModel(cfg_q), params_q, tokens)
+    out["ppl_w4g64_bf16meta"] = ppl
+    out["rel_delta_w4g64_bf16meta"] = (ppl - out["ppl_fp"]) / out["ppl_fp"]
     return out

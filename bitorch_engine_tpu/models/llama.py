@@ -67,6 +67,11 @@ class LlamaConfig:
     # of the tied int8/bf16 embedding table, reading w_bit/8 of the int8
     # bytes.  Embedding lookup stays on the (int8 or bf16) table.
     head_w_bit: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Pad the untied quantized lm_head's output features up to a multiple of
+    # this (0 = off): vocab sizes like 128256 only admit 256-wide kernel
+    # N-blocks; padding to 131072 unlocks 1024+ blocks for ~1% extra bytes.
+    # Logits are sliced back to vocab_size.
+    head_pad_to: int = struct.field(pytree_node=False, default=0)
     # Fused projections: one packed tensor (and one kernel launch) for
     # q|k|v and for gate|up.  Small-N matmuls waste bandwidth (k/v at
     # N=1024 stream ~336 GB/s vs ~615 at N≥4096 on v5e), so fusing is the
@@ -75,6 +80,8 @@ class LlamaConfig:
     # splits heads per projection, so the sharded paths keep them separate.
     fuse_qkv: bool = struct.field(pytree_node=False, default=False)
     fuse_gate_up: bool = struct.field(pytree_node=False, default=False)
+    # Qwen2-style attention: q/k/v projections carry a bias (o does not).
+    attn_qkv_bias: bool = struct.field(pytree_node=False, default=False)
     dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
 
     @property
@@ -96,6 +103,44 @@ def llama2_7b(**overrides) -> LlamaConfig:
         num_kv_heads=32,
         rope_theta=10000.0,
         rms_eps=1e-5,
+    )
+    defaults.update(overrides)
+    return LlamaConfig(**defaults)
+
+
+def mistral_7b(**overrides) -> LlamaConfig:
+    """Mistral-7B-v0.x: llama architecture with 8-head GQA, 14336 MLP.
+
+    (The original v0.1 sliding-window attention is superseded by full
+    attention in v0.2+, which is what this config models.)
+    """
+    defaults = dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        rope_theta=1000000.0,
+        rms_eps=1e-5,
+    )
+    defaults.update(overrides)
+    return LlamaConfig(**defaults)
+
+
+def qwen2_7b(**overrides) -> LlamaConfig:
+    """Qwen2/Qwen2.5-7B: llama-style blocks with q/k/v projection biases
+    (``attn_qkv_bias``), 4-head GQA and a 152k vocabulary."""
+    defaults = dict(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        rope_theta=1000000.0,
+        rms_eps=1e-6,
+        attn_qkv_bias=True,
     )
     defaults.update(overrides)
     return LlamaConfig(**defaults)
@@ -149,10 +194,12 @@ def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     ).astype(x.dtype)
 
 
-def _proj(cfg: LlamaConfig, out_features: int, name: str):
+def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False):
     if cfg.quantized and cfg.mbwq_strategy is not None:
         from ..layers.linear import MBWQLinear
 
+        if use_bias:
+            raise NotImplementedError("MBWQ projections do not support bias")
         bits = [b for b, _ in cfg.mbwq_strategy]
         props = [p for _, p in cfg.mbwq_strategy]
         strategy = {
@@ -167,10 +214,11 @@ def _proj(cfg: LlamaConfig, out_features: int, name: str):
             w_bit=cfg.w_bit,
             group_size=cfg.group_size,
             asym=cfg.asym,
+            use_bias=use_bias,
             dtype=cfg.dtype,
             name=name,
         )
-    return nn.Dense(out_features, use_bias=False, dtype=cfg.dtype, name=name)
+    return nn.Dense(out_features, use_bias=use_bias, dtype=cfg.dtype, name=name)
 
 
 class LlamaAttention(nn.Module):
@@ -188,16 +236,17 @@ class LlamaAttention(nn.Module):
         b, s, _ = x.shape
         hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
 
+        qkv_bias = cfg.attn_qkv_bias
         if cfg.fuse_qkv:
-            qkv = _proj(cfg, (nh + 2 * nkv) * hd, "qkv_proj")(x)
+            qkv = _proj(cfg, (nh + 2 * nkv) * hd, "qkv_proj", use_bias=qkv_bias)(x)
             q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
             q = q.reshape(b, s, nh, hd)
             k = k.reshape(b, s, nkv, hd)
             v = v.reshape(b, s, nkv, hd)
         else:
-            q = _proj(cfg, nh * hd, "q_proj")(x).reshape(b, s, nh, hd)
-            k = _proj(cfg, nkv * hd, "k_proj")(x).reshape(b, s, nkv, hd)
-            v = _proj(cfg, nkv * hd, "v_proj")(x).reshape(b, s, nkv, hd)
+            q = _proj(cfg, nh * hd, "q_proj", use_bias=qkv_bias)(x).reshape(b, s, nh, hd)
+            k = _proj(cfg, nkv * hd, "k_proj", use_bias=qkv_bias)(x).reshape(b, s, nkv, hd)
+            v = _proj(cfg, nkv * hd, "v_proj", use_bias=qkv_bias)(x).reshape(b, s, nkv, hd)
 
         cos, sin = _rope(positions, hd, cfg.rope_theta)
         q = _apply_rope(q, cos, sin)
@@ -456,13 +505,17 @@ class LlamaModel(nn.Module):
 
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="final_norm")(x)
         if cfg.head_w_bit is not None:
+            n_head = cfg.vocab_size
+            if cfg.head_pad_to:
+                pad = cfg.head_pad_to
+                n_head = (cfg.vocab_size + pad - 1) // pad * pad
             logits = MPQLinear(
-                out_features=cfg.vocab_size,
+                out_features=n_head,
                 w_bit=cfg.head_w_bit,
                 group_size=128,
                 dtype=cfg.dtype,
                 name="lm_head",
-            )(x).astype(jnp.float32)
+            )(x)[..., : cfg.vocab_size].astype(jnp.float32)
         elif cfg.quantize_embed:
             # per-row scale factors out of the hidden contraction
             logits = (
@@ -493,13 +546,18 @@ def fuse_llama_params(params, fuse_qkv: bool = True, fuse_gate_up: bool = True):
     def fuse_group(mod: dict, names, fused_name):
         if not all(n in mod for n in names):
             return mod
-        parts = [mod[n]["qweight"] if "qweight" in mod[n] else mod[n] for n in names]
+        parts = [mod[n] for n in names]
         mod = {k: v for k, v in mod.items() if k not in names}
-        if all(isinstance(p, MPQTensor) for p in parts):
-            mod[fused_name] = {"qweight": concat_mpq(tuple(parts))}
+        if all("qweight" in p for p in parts):
+            assert all(isinstance(p["qweight"], MPQTensor) for p in parts)
+            fused = {"qweight": concat_mpq(tuple(p["qweight"] for p in parts))}
         else:
-            kernels = [p["kernel"] for p in parts]
-            mod[fused_name] = {"kernel": jnp.concatenate(kernels, axis=1)}
+            fused = {
+                "kernel": jnp.concatenate([p["kernel"] for p in parts], axis=1)
+            }
+        if all("bias" in p for p in parts):
+            fused["bias"] = jnp.concatenate([p["bias"] for p in parts], axis=0)
+        mod[fused_name] = fused
         return mod
 
     def walk(tree):

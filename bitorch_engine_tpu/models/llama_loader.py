@@ -79,7 +79,12 @@ def load_llama_params(
         prefix = name[: name.rindex(".")]
         qt = qspec(prefix)
         if qt is not None and proj not in layers[key][block]:
-            layers[key][block][proj] = {"qweight": qt}
+            entry = {"qweight": qt}
+            bias = tensors.get(prefix + ".bias")
+            if bias is not None:
+                # Qwen2-style q/k/v projection bias
+                entry["bias"] = jnp.asarray(np.asarray(bias, np.float32), dtype)
+            layers[key][block][proj] = entry
 
     for i in range(cfg.num_layers):
         key = f"layer_{i}"
@@ -118,9 +123,14 @@ def load_llama_params(
         # tied checkpoints fall back to the embedding table
         head = tensors.get("lm_head.weight")
         head = embed if head is None else np.asarray(head, np.float32)
+        head = head.T  # (hidden, vocab)
+        if cfg.head_pad_to:
+            pad = cfg.head_pad_to
+            n_head = (head.shape[1] + pad - 1) // pad * pad
+            head = np.pad(head, ((0, 0), (0, n_head - head.shape[1])))
         out["lm_head"] = {
             "qweight": quantize_mpq(
-                jnp.asarray(head.T), w_bit=cfg.head_w_bit, group_size=128,
+                jnp.asarray(head), w_bit=cfg.head_w_bit, group_size=128,
                 asym=False,
             )
         }
@@ -181,6 +191,8 @@ def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
             for key, val in tree.items():
                 if isinstance(val, dict) and set(val) == {"kernel"}:
                     out[key] = {"qweight": qz(val["kernel"])}
+                elif isinstance(val, dict) and set(val) == {"kernel", "bias"}:
+                    out[key] = {"qweight": qz(val["kernel"]), "bias": val["bias"]}
                 else:
                     out[key] = convert(val)
             return out

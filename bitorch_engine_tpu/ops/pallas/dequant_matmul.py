@@ -253,7 +253,13 @@ def _round_up(x: int, m: int) -> int:
 _PAIR_TILE_TABLE = {
     (4096, 4096, 4): (4096, 512),    # q/o proj: 707 GB/s (vs 680 default)
     (4096, 14336, 4): (2048, 2048),  # gate/up: 731 GB/s (vs 651)
-    (14336, 4096, 4): (4096, 2048),  # down:    709 GB/s (vs 679)
+    (14336, 4096, 4): (2048, 2048),  # down:    688 GB/s incl meta
+    # fused projections + padded lm_head (session r2c sweep, bf16 metadata)
+    (4096, 6144, 4): (4096, 2048),   # fused qkv: 677 GB/s (vs 579 default)
+    (4096, 28672, 4): (4096, 2048),  # fused gate|up: 725 GB/s (vs 714)
+    (4096, 131072, 4): (2048, 2048), # lm_head pad 128*1024: 750 GB/s
+    (4096, 129024, 4): (2048, 2048), # lm_head pad 63*2048 (0.6% pad bytes)
+    (4096, 128256, 4): (4096, 256),  # unpadded llama3 head: 614 vs 461
 }
 
 

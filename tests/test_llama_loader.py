@@ -116,3 +116,47 @@ def test_load_tied_head_fallback():
     # RTN w4g128 keeps the head within quantization error of the tied table
     err = float(np.mean(np.abs(np.asarray(deq) - tied)))
     assert err < 0.05 * float(np.mean(np.abs(tied))) + 0.05
+
+
+def test_load_qwen_style_bias_and_fused():
+    """q/k/v ``.bias`` tensors ingest into the tree; fused configs get them
+    concatenated into qkv_proj."""
+    cfg = tiny_llama(attn_qkv_bias=True)
+    t = _hf_fp_tensors(cfg)
+    rng = np.random.default_rng(7)
+    hd = cfg.head_dim
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}.self_attn."
+        t[p + "q_proj.bias"] = rng.standard_normal(cfg.num_heads * hd).astype(np.float32)
+        t[p + "k_proj.bias"] = rng.standard_normal(cfg.num_kv_heads * hd).astype(np.float32)
+        t[p + "v_proj.bias"] = rng.standard_normal(cfg.num_kv_heads * hd).astype(np.float32)
+
+    params = load_llama_params(t, cfg)
+    attn = params["params"]["layer_0"]["attn"]
+    assert "bias" in attn["q_proj"]
+    model = LlamaModel(cfg)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    logits, _ = model.apply(params, toks)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    cfg_f = tiny_llama(attn_qkv_bias=True, fuse_qkv=True)
+    params_f = load_llama_params(t, cfg_f)
+    qkv = params_f["params"]["layer_0"]["attn"]["qkv_proj"]
+    assert "bias" in qkv and qkv["bias"].shape[0] == (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+    logits_f, _ = LlamaModel(cfg_f).apply(params_f, toks)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits_f))
+
+
+def test_load_head_padded():
+    """head_pad_to pads the quantized lm_head at load; logits match unpadded."""
+    cfg = tiny_llama(head_w_bit=4)
+    t = _hf_fp_tensors(cfg)
+    params = load_llama_params(t, cfg)
+    cfg_p = tiny_llama(head_w_bit=4, head_pad_to=512)
+    params_p = load_llama_params(t, cfg_p)
+    n_pad = params_p["params"]["lm_head"]["qweight"].out_features
+    assert n_pad == 512 and n_pad > cfg.vocab_size
+    toks = jnp.zeros((1, 4), jnp.int32)
+    ref, _ = LlamaModel(cfg).apply(params, toks)
+    out, _ = LlamaModel(cfg_p).apply(params_p, toks)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-6)

@@ -45,3 +45,6 @@ def test_ppl_gate_trained_model():
         < out["rel_delta_mbwq_2p5"]
         < out["rel_delta_w2g32"]
     ), out
+    # bf16-stored metadata (serving relayout) adds at most noise on top of
+    # the w4 code quantization itself
+    assert abs(out["rel_delta_w4g64_bf16meta"] - out["rel_delta_w4g64"]) < 0.02, out
