@@ -51,12 +51,25 @@ def _fit_group_size(requested: int, seg_k: int, w_bit: int) -> int:
     return gs
 
 
-def _segment_counts(bits: Sequence[int], props: Sequence[float], n_blocks: int):
-    """Static per-bit block counts from the strategy proportions."""
+def _segment_counts(
+    bits: Sequence[int], props: Sequence[float], n_blocks: int, align: int = 1
+):
+    """Static per-bit block counts from the strategy proportions.
+
+    ``align``: round counts to this multiple (requires ``n_blocks % align
+    == 0``).  Kernel-friendliness: aligning each segment's K to ``8 *
+    group_size`` keeps its group count 8-divisible, so the fused kernel's
+    K-step can always reach an (8-sublane, 128-lane)-aligned block — odd
+    group counts (e.g. llama2-7B down-proj K=11008 at 25% → 2752 rows = 43
+    g64 groups) would otherwise force those segments onto the XLA fallback.
+    """
     counts = []
     used = 0
     for i, (b, p) in enumerate(zip(bits, props)):
-        c = int(round(p * n_blocks)) if i < len(bits) - 1 else n_blocks - used
+        if i < len(bits) - 1:
+            c = int(round(p * n_blocks / align)) * align
+        else:
+            c = n_blocks - used
         c = max(0, min(c, n_blocks - used))
         counts.append(c)
         used += c
@@ -89,9 +102,25 @@ def quantize_mbwq(
     norms = jnp.sum(w * w, axis=1).reshape(n_blocks, base_gs).sum(axis=1)
     order = jnp.argsort(-norms)  # descending energy, traced is fine
 
+    # segment alignment: counts in multiples of 8*gs/base_gs blocks so every
+    # segment's group count stays 8-divisible for the fused kernel (see
+    # _segment_counts); halve until it divides the total block count
+    align = 1
+    for b in bits:
+        gs_b = gs_map.get(int(b), base_gs)
+        align = max(align, 8 * max(gs_b // base_gs, 1))
+    while align > 1 and n_blocks % align != 0:
+        align //= 2
+
+    counts = _segment_counts(bits, props, n_blocks, align)
+    if any(c == 0 and p > 0 for c, p in zip(counts, props)):
+        # tensor too small for aligned splits — keep every requested segment
+        # (the kernel falls back to XLA where tiling doesn't fit)
+        counts = _segment_counts(bits, props, n_blocks)
+
     # descending-bit segment order (parity with trans_qweight's
     # rows_8..rows_2 segmentation); counts are static
-    by_bits = sorted(zip(bits, _segment_counts(bits, props, n_blocks)), reverse=True)
+    by_bits = sorted(zip(bits, counts), reverse=True)
     segments = []
     perm_parts = []
     start = 0

@@ -162,7 +162,7 @@ def _accumulate_k_step(
 ):
     """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
     dot each against its activation slice, apply group-factored scales and
-    the batched zeros correction.  Shared by the grid, DMA and multi-segment
+    the batched zeros correction.  Shared by the grid and multi-segment
     (MBWQ) kernels."""
     ppw = 32 // w_bit
     bkp = group_size // ppw
@@ -293,6 +293,13 @@ def _pick_tiles(
         )
     if g_total % gpk != 0:
         raise NotImplementedError(f"groups {g_total} not divisible by gpk {gpk}")
+    if (gpk * gs) % 128 != 0 and gpk * gs != k:
+        # Mosaic requires the x block's lane dim to be 128-aligned (or the
+        # whole K); odd group counts (e.g. K=2752 @ gs=64 → 43 groups) land
+        # here → caller falls back to the XLA dequant path
+        raise NotImplementedError(
+            f"K step {gpk * gs} not 128-lane-aligned (K={k}, gs={gs})"
+        )
     bm = max(8, min(256, _round_up(m, 8)))
     # default bn: largest of 1024/512/256/128 dividing N (v5e autotune sweep:
     # 4096x4096 w4g128 m8 → ks=2048/bn=1024 = 509 GB/s, 2.9x vs bf16)
@@ -381,185 +388,18 @@ def _mpq_matmul_call(
 
 
 # ---------------------------------------------------------------------------
-# Manually pipelined variant: explicit double-buffered DMA
+# A manually double-buffered DMA variant (grid over n-blocks, K streamed via
+# a 2-slot `make_async_copy` rotation) lived here through round 1.  It was
+# built on the theory that Mosaic fails to overlap the K-step DMA with the
+# unpack+dot chain; it looked great in isolated microbenchmarks but LOST in
+# every same-process e2e A/B (llama3-8B decode: 10.43 vs 9.25 ms/step), and
+# after the paired-lane layout halved the unpack work it lost even the
+# single-op comparisons on every serving shape (v5e, bf16 metadata, m=8:
+# head 4096x131072 507.7us vs grid 387.0; gate|up 111.7 vs 94.8; down 48.7
+# vs 44.3; q/o 18.5 vs 14.2).  Deleted per that evidence — the grid kernel +
+# XLA's own scheduling is the better TPU design; see git history for the
+# implementation and BENCH_NOTES.md for the measurement trail.
 # ---------------------------------------------------------------------------
-#
-# The grid-pipelined kernel above plateaus at ~500 GB/s on v5e because Mosaic
-# does not overlap the K-step DMA with the unpack+dot chain (measured: pure
-# streaming of the packed array = 1.07-1.2 TB/s; VPU unpack+dot ≈ 6.5 us on
-# the 4096² w4 GEMV; kernel = 17 us ≈ the *sum*).  This variant owns the
-# pipeline: grid over (n-blocks) only, K streamed in chunks with
-# `pltpu.make_async_copy` into a 2-slot VMEM rotation — chunk i+1's DMA is
-# issued before chunk i's compute.  Same math, same tpu_tiled layout.
-# Measured (same-process A/B, 4096² w4g128 m8): 8.3 us vs 10.6 us grid
-# (≈1.07 TB/s — at the streaming ceiling); down-proj 14336×4096: 1.45×.
-
-
-def _mpq_dma_kernel(
-    x_ref,
-    scales_ref,
-    zeros_ref,
-    packed_hbm,
-    out_ref,
-    acc_ref,
-    buf,
-    sem,
-    *,
-    w_bit: int,
-    group_size: int,
-    gpk: int,
-    nk: int,
-    bn: int,
-    layout: str = "tpu_tiled",
-):
-    ppw = 32 // w_bit
-    bkp = group_size // ppw
-    kp_step = gpk * bkp
-    i_n = pl.program_id(1)
-
-    def get_dma(slot, chunk):
-        return pltpu.make_async_copy(
-            packed_hbm.at[pl.ds(chunk * kp_step, kp_step), pl.ds(i_n * bn, bn)],
-            buf.at[slot],
-            sem.at[slot],
-        )
-
-    get_dma(0, 0).start()
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    def body(chunk, _):
-        slot = lax.rem(chunk, 2)
-
-        @pl.when(chunk + 1 < nk)
-        def _():
-            get_dma(lax.rem(chunk + 1, 2), chunk + 1).start()
-
-        get_dma(slot, chunk).wait()
-
-        acc_ref[:] = _accumulate_k_step(
-            x_ref[chunk],  # (bm, gpk*gs) — leading-dim dynamic index
-            buf[slot],  # (kp_step, bn)
-            scales_ref[chunk],  # (gpk, bn)
-            zeros_ref[chunk],
-            acc_ref[:],
-            w_bit=w_bit,
-            group_size=group_size,
-            gpk=gpk,
-            layout=layout,
-        )
-        return 0
-
-    lax.fori_loop(0, nk, body, 0)
-    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
-
-
-# max bytes for the 2-slot packed-chunk rotation (v5e VMEM is ~64 MiB but the
-# x/scales/zeros/acc blocks and the compiler's own buffers need room)
-_DMA_BUF_BYTES = 8 * 1024 * 1024
-# DMA variant is for the HBM-bound GEMV regime; beyond this the grid kernel /
-# XLA path win on MXU utilization (m=128 measured ≈0.94×)
-_DMA_MAX_ROWS = 64
-
-
-# auto-dispatch profitability: measured e2e (llama3-8B w4 decode, v5e,
-# alternating same-process A/B over 150 steps/arm) the grid-pipelined kernel
-# wins every gating we tried — DMA everywhere 10.43 vs 9.25 ms/step, DMA only
-# on the deep-pipeline down-proj (nk=7 or 14) 9.47 vs 9.29, DMA on the whole
-# MLP 9.49.  Isolated microbenchmarks that showed the DMA variant ahead
-# (8.3 vs 10.6 us on the 4096² GEMV) did not survive e2e: inside a full step
-# XLA overlaps neighbouring ops with the grid kernel's epilogue, and the
-# tunnel-timing variance that produced those readings is documented in
-# BENCH_NOTES.md.  So auto-dispatch never picks the DMA variant today; it
-# stays available via ``use_dma=True`` as the base for the round-2 pipelined
-# kernel work (halving VPU unpack ops is the remaining lever — the streaming
-# floor of 1.07-1.2 TB/s is proven reachable).
-def _dma_profitable(m: int, k: int, n: int) -> bool:
-    return False
-
-
-def _pick_dma_tiles(m: int, k: int, n: int, w_bit: int, gs: int):
-    """(gpk, bn) for the DMA kernel, or None if out of its envelope."""
-    if m > _DMA_MAX_ROWS:
-        return None
-    ppw = 32 // w_bit
-    bkp = gs // ppw
-    g_total = k // gs
-    bn = None
-    for cand in (2048, 1024, 512, 256, 128):
-        if n % cand == 0:
-            bn = cand
-            break
-    if bn is None:
-        return None
-    for gpk in (16, 8, 4, 2, 1):
-        if (
-            g_total % gpk == 0
-            and (gpk * bkp) % 8 == 0
-            and 2 * gpk * bkp * bn * 4 <= _DMA_BUF_BYTES
-            and g_total // gpk >= 2
-        ):
-            return gpk, bn
-    return None
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("w_bit", "group_size", "gpk", "bn", "interpret", "layout"),
-)
-def _mpq_matmul_dma_call(
-    x: Array,
-    packed: Array,
-    scales: Array,
-    zeros: Array,
-    *,
-    w_bit: int,
-    group_size: int,
-    gpk: int,
-    bn: int,
-    interpret: bool = False,
-    layout: str = "tpu_tiled",
-) -> Array:
-    m, k = x.shape
-    n = packed.shape[1]
-    gs = group_size
-    ppw = 32 // w_bit
-    bkp = gs // ppw
-    nk = (k // gs) // gpk
-    bm = max(8, _round_up(m, 8))
-    if bm != m:
-        x = jnp.pad(x, ((0, bm - m), (0, 0)))
-    # leading-dim chunked views: dynamic indexing on dim 0 is the only form
-    # Mosaic accepts without sublane-alignment proofs
-    x3 = x.reshape(bm, nk, gpk * gs).transpose(1, 0, 2)  # (nk, bm, gpk*gs)
-    s3 = scales.reshape(nk, gpk, n)
-    z3 = zeros.reshape(nk, gpk, n)
-    kp_step = gpk * bkp
-
-    out = pl.pallas_call(
-        functools.partial(
-            _mpq_dma_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, bn=bn,
-            layout=layout,
-        ),
-        grid=(1, n // bn),
-        in_specs=[
-            pl.BlockSpec((nk, bm, gpk * gs), lambda im, i_n: (0, 0, 0)),
-            pl.BlockSpec((nk, gpk, bn), lambda im, i_n: (0, 0, i_n)),
-            pl.BlockSpec((nk, gpk, bn), lambda im, i_n: (0, 0, i_n)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda im, i_n: (im, i_n)),
-        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm, bn), jnp.float32),
-            pltpu.VMEM((2, kp_step, bn), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-        interpret=interpret,
-    )(x3, s3, z3, packed)
-    return out[:m]
 
 
 def prepare_for_kernel(qt: MPQTensor) -> MPQTensor:
@@ -575,17 +415,12 @@ def mpq_matmul_pallas(
     interpret: bool = False,
     k_step_rows: Optional[int] = None,
     block_n: Optional[int] = None,
-    use_dma: Optional[bool] = None,
 ) -> Array:
     """``x @ dequant(qt)`` with the fused kernel.
 
     Accepts either layout ("gptq" is relayouted on the fly — prefer calling
     :func:`relayout_tpu` once at load time).  Raises NotImplementedError for
     configurations the kernel doesn't cover (caller falls back to XLA).
-
-    ``use_dma``: force (True) or forbid (False) the manually double-buffered
-    DMA variant; default auto-selects it for the small-m GEMV regime where
-    it reaches the HBM streaming ceiling.
     """
     if qt.q_perm is not None:
         x = x[..., qt.q_perm]  # activation permute (exl2-style), cheap gather
@@ -595,24 +430,6 @@ def mpq_matmul_pallas(
         raise NotImplementedError("K mismatch")
     if k % qt.group_size != 0:
         raise NotImplementedError("ragged groups")
-    if use_dma is not False and k_step_rows is None and block_n is None:
-        tiles = _pick_dma_tiles(x.shape[0], k, n, qt.w_bit, qt.group_size)
-        if tiles is not None and (use_dma or _dma_profitable(x.shape[0], k, n)):
-            gpk, bn = tiles
-            return _mpq_matmul_dma_call(
-                x,
-                qt.packed,
-                qt.scales,
-                qt.zeros,
-                w_bit=qt.w_bit,
-                group_size=qt.group_size,
-                gpk=gpk,
-                bn=bn,
-                interpret=interpret,
-                layout=qt.layout,
-            )
-        if use_dma:
-            raise NotImplementedError("shape outside DMA kernel envelope")
     return _mpq_matmul_call(
         x,
         qt.packed,

@@ -104,45 +104,6 @@ def test_xnor_gemm_pallas_interpret(m, k, n):
     np.testing.assert_allclose(np.asarray(out), expected)
 
 
-# --- manually double-buffered DMA variant -----------------------------------
-
-
-@pytest.mark.parametrize("w_bit", [2, 4, 8])
-@pytest.mark.parametrize("m", [1, 8, 33])
-def test_dma_kernel_matches_grid_kernel(w_bit, m):
-    """DMA-pipelined variant == grid-pipelined variant == XLA dequant."""
-    k, n, gs = 512, 256, 128
-    x, qt = _mk(m, k, n, gs, w_bit)
-    out_dma = mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
-    out_grid = mpq_matmul_pallas(x, qt, interpret=True, use_dma=False)
-    ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(ref), **_tol(w_bit))
-    np.testing.assert_allclose(np.asarray(out_dma), np.asarray(out_grid), **_tol(w_bit))
-
-
-def test_dma_kernel_asym_and_bf16():
-    x, qt = _mk(8, 512, 256, 128, 4, asym=True, dtype=jnp.bfloat16)
-    out = mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
-    ref = jnp.dot(x.astype(jnp.float32), quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), rtol=0.05, atol=0.05)
-
-
-def test_dma_envelope_fallback():
-    """m beyond the DMA regime must silently use the grid kernel; forcing
-    use_dma=True outside the envelope raises."""
-    from bitorch_engine_tpu.ops.pallas.dequant_matmul import _pick_dma_tiles
-
-    assert _pick_dma_tiles(8, 512, 256, 4, 128) is not None
-    assert _pick_dma_tiles(128, 512, 256, 4, 128) is None  # m too large
-    assert _pick_dma_tiles(8, 512, 100, 4, 128) is None  # N not 128-aligned
-    x, qt = _mk(128, 512, 256, 128, 4)
-    out = mpq_matmul_pallas(x, qt, interpret=True)  # auto: grid path
-    ref = jnp.dot(x, quant.dequantize_mpq(qt, dtype=jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **_tol(4))
-    with pytest.raises(NotImplementedError):
-        mpq_matmul_pallas(x, qt, interpret=True, use_dma=True)
-
-
 # --- fused multi-segment mixed-bit (MBWQ) kernel -----------------------------
 
 
