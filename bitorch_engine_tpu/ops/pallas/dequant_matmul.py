@@ -312,6 +312,19 @@ def _pick_tiles(
                 break
         else:
             raise NotImplementedError(f"N={n} not a multiple of 128")
+        if bn <= 256:
+            # N with few 2-power factors (llama2 11008 = 128*86) makes
+            # narrow blocks that stream poorly (256-wide ≈ 180 GB/s): any
+            # 128-multiple divisor works — take the largest ≤ 4096, else
+            # cover the whole N in one block (Mosaic allows block == dim;
+            # an 11008-wide w2 block is ~2.8 MB of VMEM, well in budget)
+            for mult in range(min(n, 4096) // 128, bn // 128, -1):
+                if n % (mult * 128) == 0:
+                    bn = mult * 128
+                    break
+            else:
+                if n <= 16384:
+                    bn = n
     return bm, gpk, bn
 
 

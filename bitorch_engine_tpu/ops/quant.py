@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..qtensor import BinaryQTensor, IntQTensor, MPQTensor
 from . import packing
@@ -188,6 +189,30 @@ def _group_index(qt: MPQTensor, k: int) -> Array:
     if qt.g_idx is not None:
         return qt.g_idx
     return (jnp.arange(k, dtype=jnp.int32) // qt.group_size)
+
+
+def slice_mpq_n(qt: MPQTensor, start: int, size: int) -> MPQTensor:
+    """Static slice of ``size`` output columns starting at ``start``.
+
+    The inverse of :func:`concat_mpq` (group metadata is per N-column, so a
+    column slice is self-contained).  asym tensors pack zeros along N, so
+    ``start``/``size`` must be multiples of the codes-per-word there.
+    """
+    packed = lax.slice_in_dim(qt.packed, start, start + size, axis=1)
+    scales = lax.slice_in_dim(qt.scales, start, start + size, axis=1)
+    if qt.asym:
+        ppw = 32 // qt.w_bit
+        if start % ppw or size % ppw:
+            raise ValueError("asym slice must align to codes-per-word")
+        zeros = lax.slice_in_dim(
+            qt.zeros, start // ppw, (start + size) // ppw, axis=1
+        )
+    else:
+        zeros = lax.slice_in_dim(qt.zeros, start, start + size, axis=1)
+    shadow = None
+    if qt.grad_shadow is not None:
+        shadow = lax.slice_in_dim(qt.grad_shadow, start, start + size, axis=1)
+    return qt.replace(packed=packed, scales=scales, zeros=zeros, grad_shadow=shadow)
 
 
 def concat_mpq(parts: Tuple[MPQTensor, ...]) -> MPQTensor:
