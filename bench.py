@@ -128,7 +128,12 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     params = relayout_params_for_tpu(params, meta_dtype=meta)
     caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
 
-    @jax.jit
+    import functools
+
+    # donate caches: undonated, XLA copies every KV pool per step to build
+    # the output caches (~0.7 ms/step on this config; device trace in
+    # BENCH_NOTES round 2).  Caches thread forward through the run.
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_step(params, tok, caches, pos):
         positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
         logits, caches = model.apply(
@@ -141,17 +146,22 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32))
     int(tok[0, 0])
 
-    def timed(n0, steps):
+    state = {"tok": tok, "caches": caches, "pos": 1}
+
+    def timed(steps):
+        t = state["tok"]
+        c = state["caches"]
+        n0 = state["pos"]
         t0 = time.time()
-        t = tok
-        c = caches
         for i in range(n0, n0 + steps):
             t, c = decode_step(params, t, c, jnp.asarray(i, jnp.int32))
         int(t[0, 0])  # fetch forces completion of the chained steps
-        return (time.time() - t0) / steps
+        dt = (time.time() - t0) / steps
+        state.update(tok=t, caches=c, pos=n0 + steps)
+        return dt
 
-    timed(1, 10)  # settle
-    return min(timed(11, 50), timed(61, 50))
+    timed(10)  # settle
+    return min(timed(50), timed(50))
 
 
 def main():

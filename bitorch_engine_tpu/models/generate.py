@@ -213,7 +213,12 @@ class ContinuousBatcher:
         cfg = self.cfg
         model_ = self.model
 
-        @jax.jit
+        # donate_argnums(caches): without donation XLA materializes a full
+        # copy of every KV pool per step to produce the new caches — on a
+        # 7B MHA model that is ~2.3 ms/step of s8 copies (device trace,
+        # BENCH_NOTES round 2).  The batcher rebinds self.caches from the
+        # result on the same line, so the donated buffers are never reused.
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def _decode(params, toks, caches, positions, active_mask, key):
             # toks (slots, 1); positions (slots,) — per-slot cache positions
             logits, caches = model_.apply(
@@ -232,7 +237,9 @@ class ContinuousBatcher:
         self._key = jax.random.PRNGKey(0)
         max_len_ = max_len
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        @functools.partial(
+            jax.jit, static_argnames=("n_steps",), donate_argnums=(2,)
+        )
         def _decode_chunk(params, toks, caches, positions, active_mask, key, n_steps):
             """n_steps greedy/sampled decode steps in ONE device dispatch."""
 
@@ -263,7 +270,7 @@ class ContinuousBatcher:
         self._decode_chunk = _decode_chunk
 
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill_slots(params, caches, tokens, slots, true_lens):
             """Prefill n slots in ONE dispatch: ``tokens`` (n, bucket),
             ``slots`` (n,) distinct slot indices, ``true_lens`` (n,).
@@ -293,10 +300,11 @@ class ContinuousBatcher:
 
         self._prefill_slots = _prefill_slots
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill_slots_paged(params, caches, tokens, table_rows, true_lens):
             """Paged prefill: no slot gather/scatter — writes land directly
             in the pool pages named by this admit-wave's table rows."""
+            in_tables = [c.page_table for c in caches]
             caches = [c.replace(page_table=table_rows) for c in caches]
             logits, new_caches = model_.apply(
                 params,
@@ -304,6 +312,12 @@ class ContinuousBatcher:
                 kv_caches=caches,
                 cache_len=jnp.zeros((tokens.shape[0],), jnp.int32),
             )
+            # restore each layer's own table buffer: returning table_rows
+            # for every layer would alias ONE output buffer across layers,
+            # and the next donated call rejects duplicate donated buffers
+            new_caches = [
+                c.replace(page_table=t) for c, t in zip(new_caches, in_tables)
+            ]
             last = jnp.take_along_axis(
                 logits, (true_lens - 1)[:, None, None], axis=1
             )[:, 0]
@@ -319,11 +333,15 @@ class ContinuousBatcher:
     def _caches_in(self):
         """Caches as passed to the jitted step: in paged mode, attach the
         allocator's current full page table (host-side replace, no copy of
-        the pools)."""
+        the pools).  One ``_put`` per layer: the decode step donates the
+        cache pytree, and XLA rejects donating the same buffer twice, so
+        each layer needs its own (tiny) table buffer."""
         if not self.paged:
             return self.caches
-        tbl = self._put(self.allocator.table, self._table_sharding)
-        return [c.replace(page_table=tbl) for c in self.caches]
+        return [
+            c.replace(page_table=self._put(self.allocator.table, self._table_sharding))
+            for c in self.caches
+        ]
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64) -> int:
         self._uid += 1

@@ -50,8 +50,10 @@ class PagedKV:
 
     ``k_scale``/``v_scale`` are ``None`` in bf16 mode; in int8 mode they
     hold fp32 per-position scales ``(num_pages, page_size, kv_heads)``.
-    ``page_table`` ``(b, pages_per_slot) int32`` is shared (same device
-    buffer) across layers.
+    ``page_table`` ``(b, pages_per_slot) int32`` holds the same *values*
+    for every layer but must be a **distinct device buffer per layer**:
+    the serving step donates the cache pytree, and XLA rejects donating
+    one buffer twice (``Attempt to donate the same buffer twice``).
     """
 
     k_pool: Array
@@ -82,9 +84,10 @@ def init_paged_kv_caches(
     ``(num_pages - 1) * page_size`` tokens.
     """
     shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
-    table = jnp.zeros((slots, pages_per_slot), jnp.int32)
     caches = []
     for _ in range(cfg.num_layers):
+        # distinct buffer per layer — the donated-step requirement above
+        table = jnp.zeros((slots, pages_per_slot), jnp.int32)
         if cfg.kv_cache_dtype == "int8":
             sshape = (num_pages, page_size, cfg.num_kv_heads)
             caches.append(
