@@ -133,17 +133,38 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     # donate caches: undonated, XLA copies every KV pool per step to build
     # the output caches (~0.7 ms/step on this config; device trace in
     # BENCH_NOTES round 2).  Caches thread forward through the run.
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def decode_step(params, tok, caches, pos):
+    @functools.partial(
+        jax.jit, donate_argnums=(2,), static_argnames=("window",)
+    )
+    def decode_step(params, tok, caches, pos, window):
         positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
         logits, caches = model.apply(
-            params, tok, positions=positions, kv_caches=caches, cache_len=pos
+            params,
+            tok,
+            positions=positions,
+            kv_caches=caches,
+            cache_len=pos,
+            attn_window=window,
         )
         return jnp.argmax(logits[:, -1], -1)[:, None], caches
 
+    # bucketed attention window: decode at position p reads the cache
+    # prefix of the smallest power-of-2 bucket >= p+1 instead of the whole
+    # CACHE_LEN (bit-identical; tests/test_llama.py window tests).
+    # BENCH_WINDOW=0 disables (full-cache reads every step).
+    windowed = os.environ.get("BENCH_WINDOW", "1") != "0"
+
+    def bucket(n):
+        w = 128
+        while w < n:
+            w *= 2
+        return min(w, CACHE_LEN)
+
+    win = lambda pos: bucket(pos + 1) if windowed else None
+
     tok = jnp.ones((BATCH, 1), jnp.int32)
     # warmup + lazy-relayout flush (fetch forces completion)
-    tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32))
+    tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32), win(0))
     int(tok[0, 0])
 
     state = {"tok": tok, "caches": caches, "pos": 1}
@@ -152,16 +173,23 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
         t = state["tok"]
         c = state["caches"]
         n0 = state["pos"]
+        # pre-compile the buckets this chunk crosses (outside the timed
+        # loop); threads t/c forward — caches are donated, so the originals
+        # must not be reused
+        for w in sorted({win(i) for i in range(n0, n0 + steps)}, key=str):
+            t, c = decode_step(params, t, c, jnp.asarray(n0, jnp.int32), w)
         t0 = time.time()
         for i in range(n0, n0 + steps):
-            t, c = decode_step(params, t, c, jnp.asarray(i, jnp.int32))
+            t, c = decode_step(params, t, c, jnp.asarray(i, jnp.int32), win(i))
         int(t[0, 0])  # fetch forces completion of the chained steps
         dt = (time.time() - t0) / steps
         state.update(tok=t, caches=c, pos=n0 + steps)
         return dt
 
     timed(10)  # settle
-    return min(timed(50), timed(50))
+    dt = min(timed(50), timed(50))
+    # the timed positions (11..110) all fall in the 128 bucket
+    return dt, (128 if windowed else CACHE_LEN)
 
 
 def main():
@@ -174,7 +202,7 @@ def main():
         # w4g128 lm_head via the fused kernel (exl2-style head quantization;
         # BENCH_HEAD_BITS=8 falls back to the tied int8 head)
         head_bits = int(os.environ.get("BENCH_HEAD_BITS", "4"))
-        step = e2e_decode("int8", head_bits if head_bits in (2, 4) else None)
+        step, kv_window = e2e_decode("int8", head_bits if head_bits in (2, 4) else None)
         toks = BATCH / step
         # bf16 baseline: same step with weight-matmul time swapped for bf16
         overhead = max(step - total_q * LAYERS, 0.0)
@@ -184,9 +212,10 @@ def main():
         head_desc = f"w{head_bits} lm_head" if head_bits in (2, 4) else "int8 lm_head"
         unit = (
             f"tokens/s/chip (end-to-end decode, batch={BATCH}, cache={CACHE_LEN},"
-            f" int8 KV + {head_desc})"
+            f" attention window {kv_window}, int8 KV + {head_desc})"
         )
     else:
+        kv_window = CACHE_LEN
         # projection-level projection (CPU or E2E disabled)
         lm_time = VOCAB * HIDDEN * 2 / HBM_BW
         step = total_q * LAYERS + lm_time
@@ -202,8 +231,11 @@ def main():
     packed_bytes = sum(
         k * n * W_BIT // 8 + 2 * (k // GROUP) * n * meta_b for _, k, n in PROJS
     )
+    # KV bytes at the attention window actually read during the timed steps
+    # (the bucketed window makes early-sequence decode read a prefix, not
+    # the whole allocation — the roofline must count what the step streams)
     kv_heads, head_dim = 8, 128
-    kv_bytes = 2 * BATCH * CACHE_LEN * kv_heads * head_dim * 1 * LAYERS
+    kv_bytes = 2 * BATCH * kv_window * kv_heads * head_dim * 1 * LAYERS
     head_bits_rl = int(os.environ.get("BENCH_HEAD_BITS", "4"))
     if run_e2e and head_bits_rl in (2, 4):
         hp = int(os.environ.get("BENCH_HEAD_PAD", "2048"))

@@ -218,15 +218,21 @@ class ContinuousBatcher:
         # 7B MHA model that is ~2.3 ms/step of s8 copies (device trace,
         # BENCH_NOTES round 2).  The batcher rebinds self.caches from the
         # result on the same line, so the donated buffers are never reused.
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def _decode(params, toks, caches, positions, active_mask, key):
-            # toks (slots, 1); positions (slots,) — per-slot cache positions
+        @functools.partial(
+            jax.jit, donate_argnums=(2,), static_argnames=("window",)
+        )
+        def _decode(params, toks, caches, positions, active_mask, key, window=None):
+            # toks (slots, 1); positions (slots,) — per-slot cache positions.
+            # ``window``: static power-of-2 attention bucket covering every
+            # active slot's positions (host-computed) — reads that cache
+            # prefix instead of the whole max_len (bit-identical).
             logits, caches = model_.apply(
                 params,
                 toks,
                 positions=positions[:, None],
                 kv_caches=caches,
                 cache_len=positions,
+                attn_window=window,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(logits[:, -1], sub, temperature)
@@ -238,10 +244,13 @@ class ContinuousBatcher:
         max_len_ = max_len
 
         @functools.partial(
-            jax.jit, static_argnames=("n_steps",), donate_argnums=(2,)
+            jax.jit, static_argnames=("n_steps", "window"), donate_argnums=(2,)
         )
-        def _decode_chunk(params, toks, caches, positions, active_mask, key, n_steps):
-            """n_steps greedy/sampled decode steps in ONE device dispatch."""
+        def _decode_chunk(
+            params, toks, caches, positions, active_mask, key, n_steps, window=None
+        ):
+            """n_steps greedy/sampled decode steps in ONE device dispatch.
+            ``window`` must cover max(positions) + n_steps."""
 
             def body(carry, _):
                 toks, caches, positions, key = carry
@@ -251,6 +260,7 @@ class ContinuousBatcher:
                     positions=positions[:, None],
                     kv_caches=caches,
                     cache_len=positions,
+                    attn_window=window,
                 )
                 key, sub = jax.random.split(key)
                 nxt = sample_token(logits[:, -1], sub, temperature)
@@ -278,6 +288,9 @@ class ContinuousBatcher:
             The n requests run as one batched forward; per-slot caches are
             gathered with ``take`` and scattered back with ``.at[slots]``.
             """
+            pw = 128
+            while pw < tokens.shape[1]:
+                pw *= 2
             logits, slot_caches = model_.apply(
                 params,
                 tokens,
@@ -286,6 +299,7 @@ class ContinuousBatcher:
                     for layer in caches
                 ],
                 cache_len=jnp.zeros((), jnp.int32),
+                attn_window=min(pw, max_len_),
             )
             new_caches = [
                 tuple(
@@ -306,11 +320,15 @@ class ContinuousBatcher:
             in the pool pages named by this admit-wave's table rows."""
             in_tables = [c.page_table for c in caches]
             caches = [c.replace(page_table=table_rows) for c in caches]
+            pw = 128
+            while pw < tokens.shape[1]:
+                pw *= 2
             logits, new_caches = model_.apply(
                 params,
                 tokens,
                 kv_caches=caches,
                 cache_len=jnp.zeros((tokens.shape[0],), jnp.int32),
+                attn_window=min(pw, max_len_),
             )
             # restore each layer's own table buffer: returning table_rows
             # for every layer would alias ONE output buffer across layers,
@@ -432,11 +450,20 @@ class ContinuousBatcher:
                 self.positions[s] = len(req.prompt)
                 self.cur_tok[s, 0] = nxt
 
+    def _window(self, needed: int) -> int:
+        """Smallest power-of-2 attention bucket covering ``needed`` cache
+        positions (min 128 to bound compile count), capped at max_len."""
+        w = 128
+        while w < needed:
+            w *= 2
+        return min(w, self.max_len)
+
     def step(self):
         """One decode step across all active slots."""
         active_mask = self._put(
             np.asarray([r is not None for r in self.active]), self._vec_sharding
         )
+        window = self._window(int(self.positions.max()) + 1)
         nxt, self.caches, self._key = self._decode(
             self.params,
             self._put(self.cur_tok, self._tok_sharding),
@@ -444,6 +471,7 @@ class ContinuousBatcher:
             self._put(self.positions, self._vec_sharding),
             active_mask,
             self._key,
+            window=window,
         )
         nxt_np = np.asarray(nxt)
         for s, req in enumerate(self.active):
@@ -478,6 +506,7 @@ class ContinuousBatcher:
             active_mask,
             self._key,
             n_steps=n_steps,
+            window=self._window(int(self.positions.max()) + n_steps),
         )
         toks_np = np.asarray(toks_seq)  # (n_steps, slots)
         for s, req in enumerate(self.active):

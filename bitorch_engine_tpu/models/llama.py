@@ -231,7 +231,16 @@ class LlamaAttention(nn.Module):
         positions: Array,
         kv_cache: Optional[Tuple[Array, Array]] = None,
         cache_len: Optional[Array] = None,
+        attn_window: Optional[int] = None,
     ):
+        """``attn_window``: static prefix length of the KV cache to attend
+        over (a power-of-2 "bucket" chosen by the caller per step).  Decode
+        at position p only needs positions < p+1; reading the whole
+        ``max_seq_len`` cache wastes the dominant share of attention HBM
+        traffic early in a sequence.  CALLER CONTRACT: ``attn_window >=
+        max(cache_len) + s`` — positions at or beyond the window are
+        silently dropped from attention.  Writes always land in the full
+        cache, so the window only affects this step's reads."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
@@ -272,10 +281,16 @@ class LlamaAttention(nn.Module):
             # identity page mapping; see models/paged_kv.py)
             page, off = paged_write_positions(kv_cache, cache_len, b, s)
             tbl = kv_cache.page_table
+            ps = kv_cache.page_size
+            if attn_window is not None and attn_window < kv_cache.view_len:
+                # read only the pages covering the window (writes above use
+                # the full table)
+                tbl = tbl[:, : max(1, -(-attn_window // ps))]
+            view_len = tbl.shape[1] * ps
 
             def gather(pool):
                 g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, ...)
-                return g.reshape((b, kv_cache.view_len) + pool.shape[2:])
+                return g.reshape((b, view_len) + pool.shape[2:])
 
             if kv_quant:
                 k8, ks = quantize_kv(k)
@@ -293,7 +308,7 @@ class LlamaAttention(nn.Module):
                 vp = kv_cache.v_pool.at[page, off].set(v.astype(kv_cache.v_pool.dtype))
                 new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
             k_all, v_all = gather(kp), gather(vp)
-            kv_len = kv_cache.view_len
+            kv_len = view_len
         elif kv_cache is not None:
 
             def write(cache, update, positions_):
@@ -321,6 +336,12 @@ class LlamaAttention(nn.Module):
                 k_scale_all, v_scale_all = cks, cvs
                 kv_len = ck.shape[1]
                 new_cache = (ck, cks, cv, cvs)
+                if attn_window is not None and attn_window < kv_len:
+                    k_all = k_all[:, :attn_window]
+                    v_all = v_all[:, :attn_window]
+                    k_scale_all = k_scale_all[:, :attn_window]
+                    v_scale_all = v_scale_all[:, :attn_window]
+                    kv_len = attn_window
             else:
                 ck, cv = kv_cache  # (b, max_len, nkv, hd)
                 ck = write(ck, k, cache_len)
@@ -328,6 +349,10 @@ class LlamaAttention(nn.Module):
                 k_all, v_all = ck, cv
                 kv_len = ck.shape[1]
                 new_cache = (ck, cv)
+                if attn_window is not None and attn_window < kv_len:
+                    k_all = k_all[:, :attn_window]
+                    v_all = v_all[:, :attn_window]
+                    kv_len = attn_window
         else:
             k_all, v_all = k, v
             kv_len = s
@@ -423,13 +448,14 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, kv_cache=None, cache_len=None):
+    def __call__(self, x, positions, kv_cache=None, cache_len=None, attn_window=None):
         cfg = self.cfg
         h, new_cache = LlamaAttention(cfg, name="attn")(
             RMSNorm(cfg.rms_eps, cfg.dtype, name="input_norm")(x),
             positions,
             kv_cache,
             cache_len,
+            attn_window,
         )
         x = x + h
         x = x + LlamaMLP(cfg, name="mlp")(
@@ -454,6 +480,7 @@ class LlamaModel(nn.Module):
         positions: Optional[Array] = None,
         kv_caches=None,
         cache_len: Optional[Array] = None,
+        attn_window: Optional[int] = None,
     ):
         cfg = self.cfg
         b, s = tokens.shape
@@ -500,7 +527,9 @@ class LlamaModel(nn.Module):
         new_caches = []
         for i in range(cfg.num_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
-            x, nc = LlamaBlock(cfg, name=f"layer_{i}")(x, positions, cache_i, cache_len)
+            x, nc = LlamaBlock(cfg, name=f"layer_{i}")(
+                x, positions, cache_i, cache_len, attn_window
+            )
             new_caches.append(nc)
 
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="final_norm")(x)

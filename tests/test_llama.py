@@ -388,3 +388,71 @@ def test_model_family_configs():
     params = model.init(jax.random.PRNGKey(0), toks)
     logits, _ = model.apply(params, toks)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_attn_window_matches_full_cache(kv_dtype):
+    """Bucketed attention windows (static KV-prefix reads) are bit-identical
+    to full-cache attention whenever the window covers every valid position."""
+    cfg = tiny_llama(dtype=jnp.float32, kv_cache_dtype=kv_dtype, max_seq_len=64)
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+
+    def run(attn_window):
+        caches = init_kv_caches(cfg, 2, 64)
+        logits, caches = model.apply(
+            params, toks, kv_caches=caches,
+            cache_len=jnp.zeros((2,), jnp.int32), attn_window=attn_window,
+        )
+        outs = [logits[:, -1]]
+        tok = logits[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+        for i in range(4):
+            lg, caches = model.apply(
+                params, tok,
+                positions=jnp.full((2, 1), 8 + i, jnp.int32),
+                kv_caches=caches, cache_len=jnp.asarray(8 + i, jnp.int32),
+                attn_window=attn_window,
+            )
+            outs.append(lg[:, -1])
+            tok = lg[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+        return jnp.stack(outs)
+
+    full = run(None)
+    win = run(16)  # covers cache_len+s = 12 < 16 << 64
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(win))
+
+
+def test_attn_window_paged_matches_full():
+    from bitorch_engine_tpu.models.paged_kv import init_paged_kv_caches
+
+    cfg = tiny_llama(dtype=jnp.float32, kv_cache_dtype="int8", max_seq_len=64)
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+
+    def run(attn_window):
+        ps, P = 8, 8  # page_size 8, 8 pages/slot -> view 64
+        caches = init_paged_kv_caches(cfg, 1 + 2 * P, ps, 2, P)
+        tbl = 1 + np.arange(2 * P).reshape(2, P).astype(np.int32)
+        caches = [c.replace(page_table=jnp.asarray(tbl)) for c in caches]
+        logits, caches = model.apply(
+            params, toks, kv_caches=caches,
+            cache_len=jnp.zeros((2,), jnp.int32), attn_window=attn_window,
+        )
+        outs = [logits[:, -1]]
+        tok = logits[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+        for i in range(4):
+            lg, caches = model.apply(
+                params, tok,
+                positions=jnp.full((2, 1), 8 + i, jnp.int32),
+                kv_caches=caches, cache_len=jnp.asarray(8 + i, jnp.int32),
+                attn_window=attn_window,
+            )
+            outs.append(lg[:, -1])
+            tok = lg[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+        return jnp.stack(outs)
+
+    full = run(None)
+    win = run(16)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(win))
