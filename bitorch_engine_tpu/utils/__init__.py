@@ -7,3 +7,10 @@ from .convert import (  # noqa: F401
     quantize_params,
     relayout_params_for_tpu,
 )
+from .metrics import (  # noqa: F401
+    CSVLogger,
+    JSONLLogger,
+    MetricsLogger,
+    StdoutLogger,
+    WandbLogger,
+)

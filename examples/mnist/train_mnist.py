@@ -99,6 +99,13 @@ def main():
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--data-dir", default=os.environ.get("MNIST_DIR", "/root/data/mnist"))
     p.add_argument("--cpu", action="store_true", help="force local CPU backend")
+    p.add_argument(
+        "--log-dir",
+        default=None,
+        help="multi-logger output dir (CSV + JSONL + stdout; +wandb if "
+        "WANDB_PROJECT is set) — the reference's Lightning CSVLogger/"
+        "WandbLogger wiring, mnist-lightning/main.py:162-163",
+    )
     args = p.parse_args()
 
     import jax
@@ -144,6 +151,29 @@ def main():
     step = make_train_step(loss_fn, hp)
     state = create_train_state(params, hp)
 
+    logger = None
+    if args.log_dir:
+        from bitorch_engine_tpu.utils.metrics import (
+            CSVLogger,
+            JSONLLogger,
+            MetricsLogger,
+            StdoutLogger,
+        )
+
+        backends = [
+            CSVLogger(args.log_dir),
+            JSONLLogger(args.log_dir),
+            StdoutLogger(every=50),
+        ]
+        if os.environ.get("WANDB_PROJECT"):
+            try:
+                from bitorch_engine_tpu.utils.metrics import WandbLogger
+
+                backends.append(WandbLogger(os.environ["WANDB_PROJECT"]))
+            except ImportError:
+                print("# wandb not installed; skipping WandbLogger")
+        logger = MetricsLogger(backends)
+
     n = len(xtr)
     steps_per_epoch = n // args.batch_size
     rng = np.random.default_rng(1)
@@ -153,6 +183,11 @@ def main():
         for i in range(steps_per_epoch):
             idx = perm[i * args.batch_size : (i + 1) * args.batch_size]
             state, metrics = step(state, (jnp.asarray(xtr[idx]), jnp.asarray(ytr[idx])))
+            if logger is not None:
+                logger.log(
+                    {"loss": float(metrics["loss"]), "train_acc": float(metrics["aux"])},
+                    step=epoch * steps_per_epoch + i,
+                )
         # eval
         test_logits = model.apply(state.params, jnp.asarray(xte))
         test_acc = float(accuracy(test_logits, jnp.asarray(yte)))
@@ -162,6 +197,9 @@ def main():
             f"({time.time() - t0:.1f}s)"
         )
 
+    if logger is not None:
+        logger.log({"test_acc": test_acc}, step=args.epochs * steps_per_epoch)
+        logger.finalize()
     print(f"final test accuracy ({args.bits}-bit hidden layer): {test_acc:.4f}")
 
 
