@@ -274,11 +274,27 @@ class LlamaAttention(nn.Module):
             ).astype(jnp.int8)
             return q8, scale.astype(jnp.float32)
 
+        def write(cache, update, positions_):
+            if jnp.ndim(positions_) == 0:
+                return jax.lax.dynamic_update_slice_in_dim(
+                    cache, update.astype(cache.dtype), positions_, axis=1
+                )
+            # per-slot positions (continuous batching): each batch row
+            # writes its new KV at its own cache position
+            return jax.vmap(
+                lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
+                    c, u.astype(c.dtype), p, axis=0
+                )
+            )(cache, update, positions_)
+
         if isinstance(kv_cache, PagedKV):
-            # paged cache: scatter the new tokens into pool pages, then
-            # gather this slot-batch's pages into a dense view — identical
-            # attention math to the dense cache (bit-exact under an
-            # identity page mapping; see models/paged_kv.py)
+            # paged cache: scatter the new tokens into pool pages; the read
+            # view gathers the PRE-update pool's pages into a dense view and
+            # writes the new tokens into that view (identical contents to
+            # gathering the updated pool — bit-exact under an identity page
+            # mapping — but the pool update stays a pure scatter, so the
+            # donated pool keeps its parameter layout; see the dense-branch
+            # comment below)
             page, off = paged_write_positions(kv_cache, cache_len, b, s)
             tbl = kv_cache.page_table
             ps = kv_cache.page_size
@@ -295,64 +311,65 @@ class LlamaAttention(nn.Module):
             if kv_quant:
                 k8, ks = quantize_kv(k)
                 v8, vs_ = quantize_kv(v)
-                kp = kv_cache.k_pool.at[page, off].set(k8)
-                vp = kv_cache.v_pool.at[page, off].set(v8)
-                ksp = kv_cache.k_scale.at[page, off].set(ks)
-                vsp = kv_cache.v_scale.at[page, off].set(vs_)
                 new_cache = kv_cache.replace(
-                    k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
+                    k_pool=kv_cache.k_pool.at[page, off].set(k8),
+                    v_pool=kv_cache.v_pool.at[page, off].set(v8),
+                    k_scale=kv_cache.k_scale.at[page, off].set(ks),
+                    v_scale=kv_cache.v_scale.at[page, off].set(vs_),
                 )
-                k_scale_all, v_scale_all = gather(ksp), gather(vsp)
+                k_all = write(gather(kv_cache.k_pool), k8, cache_len)
+                v_all = write(gather(kv_cache.v_pool), v8, cache_len)
+                k_scale_all = write(gather(kv_cache.k_scale), ks, cache_len)
+                v_scale_all = write(gather(kv_cache.v_scale), vs_, cache_len)
             else:
-                kp = kv_cache.k_pool.at[page, off].set(k.astype(kv_cache.k_pool.dtype))
-                vp = kv_cache.v_pool.at[page, off].set(v.astype(kv_cache.v_pool.dtype))
-                new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
-            k_all, v_all = gather(kp), gather(vp)
+                new_cache = kv_cache.replace(
+                    k_pool=kv_cache.k_pool.at[page, off].set(
+                        k.astype(kv_cache.k_pool.dtype)
+                    ),
+                    v_pool=kv_cache.v_pool.at[page, off].set(
+                        v.astype(kv_cache.v_pool.dtype)
+                    ),
+                )
+                k_all = write(gather(kv_cache.k_pool), k, cache_len)
+                v_all = write(gather(kv_cache.v_pool), v, cache_len)
             kv_len = view_len
         elif kv_cache is not None:
-
-            def write(cache, update, positions_):
-                if jnp.ndim(positions_) == 0:
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        cache, update.astype(cache.dtype), positions_, axis=1
-                    )
-                # per-slot positions (continuous batching): each batch row
-                # writes its new KV at its own cache position
-                return jax.vmap(
-                    lambda c, u, p: jax.lax.dynamic_update_slice_in_dim(
-                        c, u.astype(c.dtype), p, axis=0
-                    )
-                )(cache, update, positions_)
-
+            # With a window, the read view is built by slicing the
+            # PRE-update cache and writing the new tokens into that small
+            # view; the full-pool update stays a pure dus chain.  Slicing
+            # the post-update pool instead lets the slice's consumer
+            # dictate a different pool layout than the donated parameter's,
+            # and XLA then re-lays-out the whole pool EVERY step (8B GQA:
+            # +3.8 ms/step of s8 copies — BENCH_NOTES round 2).
             if kv_quant:
-                ck, cks, cv, cvs = kv_cache  # int8 (b,L,nkv,hd) + fp scales (b,L,nkv)
+                ck0, cks0, cv0, cvs0 = kv_cache  # int8 (b,L,nkv,hd) + fp scales
                 k8, ks = quantize_kv(k)
                 v8, vs_ = quantize_kv(v)
-                ck = write(ck, k8, cache_len)
-                cks = write(cks, ks, cache_len)
-                cv = write(cv, v8, cache_len)
-                cvs = write(cvs, vs_, cache_len)
-                k_all, v_all = ck, cv
-                k_scale_all, v_scale_all = cks, cvs
-                kv_len = ck.shape[1]
-                new_cache = (ck, cks, cv, cvs)
+                kv_len = ck0.shape[1]
+                new_cache = (
+                    write(ck0, k8, cache_len),
+                    write(cks0, ks, cache_len),
+                    write(cv0, v8, cache_len),
+                    write(cvs0, vs_, cache_len),
+                )
                 if attn_window is not None and attn_window < kv_len:
-                    k_all = k_all[:, :attn_window]
-                    v_all = v_all[:, :attn_window]
-                    k_scale_all = k_scale_all[:, :attn_window]
-                    v_scale_all = v_scale_all[:, :attn_window]
+                    k_all = write(ck0[:, :attn_window], k8, cache_len)
+                    v_all = write(cv0[:, :attn_window], v8, cache_len)
+                    k_scale_all = write(cks0[:, :attn_window], ks, cache_len)
+                    v_scale_all = write(cvs0[:, :attn_window], vs_, cache_len)
                     kv_len = attn_window
+                else:
+                    k_all, k_scale_all, v_all, v_scale_all = new_cache
             else:
-                ck, cv = kv_cache  # (b, max_len, nkv, hd)
-                ck = write(ck, k, cache_len)
-                cv = write(cv, v, cache_len)
-                k_all, v_all = ck, cv
-                kv_len = ck.shape[1]
-                new_cache = (ck, cv)
+                ck0, cv0 = kv_cache  # (b, max_len, nkv, hd)
+                kv_len = ck0.shape[1]
+                new_cache = (write(ck0, k, cache_len), write(cv0, v, cache_len))
                 if attn_window is not None and attn_window < kv_len:
-                    k_all = k_all[:, :attn_window]
-                    v_all = v_all[:, :attn_window]
+                    k_all = write(ck0[:, :attn_window], k, cache_len)
+                    v_all = write(cv0[:, :attn_window], v, cache_len)
                     kv_len = attn_window
+                else:
+                    k_all, v_all = new_cache
         else:
             k_all, v_all = k, v
             kv_len = s
