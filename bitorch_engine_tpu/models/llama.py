@@ -235,12 +235,13 @@ class LlamaAttention(nn.Module):
     ):
         """``attn_window``: static prefix length of the KV cache to attend
         over (a power-of-2 "bucket" chosen by the caller per step).  Decode
-        at position p only needs positions < p+1; reading the whole
+        at position p only needs cached positions < p; reading the whole
         ``max_seq_len`` cache wastes the dominant share of attention HBM
-        traffic early in a sequence.  CALLER CONTRACT: ``attn_window >=
-        max(cache_len) + s`` — positions at or beyond the window are
-        silently dropped from attention.  Writes always land in the full
-        cache, so the window only affects this step's reads."""
+        traffic early in a sequence.  This step's own k/v never round-trip
+        through the cache — they form an explicit second score block — so
+        the CALLER CONTRACT is ``attn_window >= max(cache_len)``; cached
+        positions at or beyond the window are silently dropped.  Writes
+        always land in the full cache: the window only affects reads."""
         cfg = self.cfg
         b, s, _ = x.shape
         hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
@@ -264,7 +265,6 @@ class LlamaAttention(nn.Module):
         from .paged_kv import PagedKV, paged_write_positions
 
         kv_quant = cfg.kv_cache_dtype == "int8" and kv_cache is not None
-        k_scale_all = v_scale_all = None
 
         def quantize_kv(u):
             amax = jnp.max(jnp.abs(u.astype(jnp.float32)), axis=-1)
@@ -287,89 +287,76 @@ class LlamaAttention(nn.Module):
                 )
             )(cache, update, positions_)
 
+        # Cache handling is split so the donated pools are NEVER read after
+        # being written: the update is a pure in-place dus/scatter chain
+        # (keeps the parameter layout under donation — slicing the
+        # post-update pool made XLA re-lay-out the whole pool every step on
+        # the 8B GQA, +3.8 ms; writing the new tokens into a pre-update
+        # slice made XLA copy the whole 7B MHA pools to break the
+        # read-write anti-dependency, +7 ms).  Attention instead runs over
+        # [pre-update prefix] + [this step's k/v handled as an explicit
+        # second score block] — the same decomposition a fused decode-
+        # attention kernel uses.
+        k_pre = v_pre = ks_pre = vs_pre = None
+        ks_new = vs_new = None
+        prefix_len = 0
         if isinstance(kv_cache, PagedKV):
-            # paged cache: scatter the new tokens into pool pages; the read
-            # view gathers the PRE-update pool's pages into a dense view and
-            # writes the new tokens into that view (identical contents to
-            # gathering the updated pool — bit-exact under an identity page
-            # mapping — but the pool update stays a pure scatter, so the
-            # donated pool keeps its parameter layout; see the dense-branch
-            # comment below)
             page, off = paged_write_positions(kv_cache, cache_len, b, s)
             tbl = kv_cache.page_table
             ps = kv_cache.page_size
             if attn_window is not None and attn_window < kv_cache.view_len:
-                # read only the pages covering the window (writes above use
-                # the full table)
+                # read only the pages covering the window (writes use the
+                # full table)
                 tbl = tbl[:, : max(1, -(-attn_window // ps))]
-            view_len = tbl.shape[1] * ps
+            prefix_len = tbl.shape[1] * ps
 
             def gather(pool):
                 g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, ...)
-                return g.reshape((b, view_len) + pool.shape[2:])
+                return g.reshape((b, prefix_len) + pool.shape[2:])
 
             if kv_quant:
-                k8, ks = quantize_kv(k)
-                v8, vs_ = quantize_kv(v)
+                k_new, ks_new = quantize_kv(k)
+                v_new, vs_new = quantize_kv(v)
                 new_cache = kv_cache.replace(
-                    k_pool=kv_cache.k_pool.at[page, off].set(k8),
-                    v_pool=kv_cache.v_pool.at[page, off].set(v8),
-                    k_scale=kv_cache.k_scale.at[page, off].set(ks),
-                    v_scale=kv_cache.v_scale.at[page, off].set(vs_),
+                    k_pool=kv_cache.k_pool.at[page, off].set(k_new),
+                    v_pool=kv_cache.v_pool.at[page, off].set(v_new),
+                    k_scale=kv_cache.k_scale.at[page, off].set(ks_new),
+                    v_scale=kv_cache.v_scale.at[page, off].set(vs_new),
                 )
-                k_all = write(gather(kv_cache.k_pool), k8, cache_len)
-                v_all = write(gather(kv_cache.v_pool), v8, cache_len)
-                k_scale_all = write(gather(kv_cache.k_scale), ks, cache_len)
-                v_scale_all = write(gather(kv_cache.v_scale), vs_, cache_len)
+                ks_pre, vs_pre = gather(kv_cache.k_scale), gather(kv_cache.v_scale)
             else:
+                k_new = k.astype(kv_cache.k_pool.dtype)
+                v_new = v.astype(kv_cache.v_pool.dtype)
                 new_cache = kv_cache.replace(
-                    k_pool=kv_cache.k_pool.at[page, off].set(
-                        k.astype(kv_cache.k_pool.dtype)
-                    ),
-                    v_pool=kv_cache.v_pool.at[page, off].set(
-                        v.astype(kv_cache.v_pool.dtype)
-                    ),
+                    k_pool=kv_cache.k_pool.at[page, off].set(k_new),
+                    v_pool=kv_cache.v_pool.at[page, off].set(v_new),
                 )
-                k_all = write(gather(kv_cache.k_pool), k, cache_len)
-                v_all = write(gather(kv_cache.v_pool), v, cache_len)
-            kv_len = view_len
+            k_pre, v_pre = gather(kv_cache.k_pool), gather(kv_cache.v_pool)
         elif kv_cache is not None:
-            # With a window, the read view is built by slicing the
-            # PRE-update cache and writing the new tokens into that small
-            # view; the full-pool update stays a pure dus chain.  Slicing
-            # the post-update pool instead lets the slice's consumer
-            # dictate a different pool layout than the donated parameter's,
-            # and XLA then re-lays-out the whole pool EVERY step (8B GQA:
-            # +3.8 ms/step of s8 copies — BENCH_NOTES round 2).
             if kv_quant:
                 ck0, cks0, cv0, cvs0 = kv_cache  # int8 (b,L,nkv,hd) + fp scales
-                k8, ks = quantize_kv(k)
-                v8, vs_ = quantize_kv(v)
-                kv_len = ck0.shape[1]
+                k_new, ks_new = quantize_kv(k)
+                v_new, vs_new = quantize_kv(v)
                 new_cache = (
-                    write(ck0, k8, cache_len),
-                    write(cks0, ks, cache_len),
-                    write(cv0, v8, cache_len),
-                    write(cvs0, vs_, cache_len),
+                    write(ck0, k_new, cache_len),
+                    write(cks0, ks_new, cache_len),
+                    write(cv0, v_new, cache_len),
+                    write(cvs0, vs_new, cache_len),
                 )
-                if attn_window is not None and attn_window < kv_len:
-                    k_all = write(ck0[:, :attn_window], k8, cache_len)
-                    v_all = write(cv0[:, :attn_window], v8, cache_len)
-                    k_scale_all = write(cks0[:, :attn_window], ks, cache_len)
-                    v_scale_all = write(cvs0[:, :attn_window], vs_, cache_len)
-                    kv_len = attn_window
-                else:
-                    k_all, k_scale_all, v_all, v_scale_all = new_cache
+                prefix_len = ck0.shape[1]
+                if attn_window is not None and attn_window < prefix_len:
+                    prefix_len = attn_window
+                k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
+                ks_pre, vs_pre = cks0[:, :prefix_len], cvs0[:, :prefix_len]
             else:
                 ck0, cv0 = kv_cache  # (b, max_len, nkv, hd)
-                kv_len = ck0.shape[1]
-                new_cache = (write(ck0, k, cache_len), write(cv0, v, cache_len))
-                if attn_window is not None and attn_window < kv_len:
-                    k_all = write(ck0[:, :attn_window], k, cache_len)
-                    v_all = write(cv0[:, :attn_window], v, cache_len)
-                    kv_len = attn_window
-                else:
-                    k_all, v_all = new_cache
+                k_new = k.astype(ck0.dtype)
+                v_new = v.astype(cv0.dtype)
+                new_cache = (write(ck0, k_new, cache_len), write(cv0, v_new, cache_len))
+                prefix_len = ck0.shape[1]
+                if attn_window is not None and attn_window < prefix_len:
+                    prefix_len = attn_window
+                k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
         else:
             k_all, v_all = k, v
             kv_len = s
@@ -410,36 +397,63 @@ class LlamaAttention(nn.Module):
         # extra HBM traffic on the cache, the decode hot path's second-
         # largest stream after the packed weights.
         qg = q.reshape(b, s, nkv, rep, hd)
-        scores = jnp.einsum(
+        neg = jnp.finfo(jnp.float32).min
+        if kv_cache is None:
+            scores = jnp.einsum(
+                "bqgrd,bkgd->bgrqk",
+                qg,
+                k_all.astype(qg.dtype),
+                preferred_element_type=jnp.float32,
+            ) / math.sqrt(hd)
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, kv_len), 4)
+            q_pos = positions[:, None, None, :, None]
+            scores = jnp.where(kv_pos <= q_pos, scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+            ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all.astype(probs.dtype))
+            ctx = ctx.reshape(b, s, nh * hd)
+            out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+            return out, new_cache
+
+        # Two-part scores: [prefix (positions < cache_len)] ++ [this step's
+        # s tokens, causal among themselves].  Prefix entries are all
+        # strictly older than every query position, so causality there
+        # reduces to the cache_len validity mask.
+        sc_p = jnp.einsum(
             "bqgrd,bkgd->bgrqk",
             qg,
-            k_all.astype(qg.dtype),
+            k_pre.astype(qg.dtype),
             preferred_element_type=jnp.float32,
         ) / math.sqrt(hd)
         if kv_quant:
             # per-position scales factor out of the head_dim contraction
-            scores = scores * k_scale_all.transpose(0, 2, 1)[:, :, None, None, :]
+            sc_p = sc_p * ks_pre.transpose(0, 2, 1)[:, :, None, None, :]
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, prefix_len), 4)
+        cl = cache_len if jnp.ndim(cache_len) == 0 else cache_len[:, None, None, None, None]
+        sc_p = jnp.where(kv_pos < cl, sc_p, neg)
 
-        # causal mask in absolute positions (works for prefill & decode)
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, kv_len), 4)
-        q_pos = positions[:, None, None, :, None]
-        mask = kv_pos <= q_pos
-        if kv_cache is not None:
-            if jnp.ndim(cache_len) == 0:
-                valid = cache_len + s
-                mask = jnp.logical_and(mask, kv_pos < valid)
-            else:
-                valid = (cache_len + s)[:, None, None, None, None]
-                mask = jnp.logical_and(mask, kv_pos < valid)
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        sc_n = jnp.einsum(
+            "bqgrd,bkgd->bgrqk",
+            qg,
+            k_new.astype(qg.dtype),
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(hd)
+        if kv_quant:
+            sc_n = sc_n * ks_new.transpose(0, 2, 1)[:, :, None, None, :]
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, s), 3)
+        ik = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, s), 4)
+        sc_n = jnp.where(ik <= iq, sc_n, neg)
 
+        probs = jax.nn.softmax(
+            jnp.concatenate([sc_p, sc_n], axis=-1), axis=-1
+        ).astype(cfg.dtype)
+        pp, pn = probs[..., :prefix_len], probs[..., prefix_len:]
         if kv_quant:
             # fold per-position V scales into the probabilities
-            probs = probs * v_scale_all.transpose(0, 2, 1)[:, :, None, None, :].astype(
-                probs.dtype
-            )
-        ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all.astype(probs.dtype))
+            pp = pp * vs_pre.transpose(0, 2, 1)[:, :, None, None, :].astype(pp.dtype)
+            pn = pn * vs_new.transpose(0, 2, 1)[:, :, None, None, :].astype(pn.dtype)
+        ctx = jnp.einsum(
+            "bgrqk,bkgd->bqgrd", pp, v_pre.astype(pp.dtype)
+        ) + jnp.einsum("bgrqk,bkgd->bqgrd", pn, v_new.astype(pn.dtype))
         ctx = ctx.reshape(b, s, nh * hd)
         out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
         return out, new_cache
