@@ -152,6 +152,8 @@ def quantize_mbwq(
         segments=tuple(segments),
         q_perm=perm,
         channel_scale=channel_scale,
+        # by construction the permutation moves whole base_gs-row blocks
+        perm_block=base_gs,
     )
 
 
@@ -205,7 +207,17 @@ def _mbwq_forward(x, qt: MBWQTensor):
     if qt.channel_scale is not None:
         x = x * qt.channel_scale.astype(x.dtype)
     if qt.q_perm is not None:
-        xp = x[..., qt.q_perm]
+        pb = qt.perm_block
+        if pb and x.shape[-1] % pb == 0:
+            # block-structured permutation: gather whole pb-row blocks
+            # along a non-minor axis (a lane-axis row gather is the worst
+            # case for the TPU vector memory)
+            nb = x.shape[-1] // pb
+            bp = qt.q_perm[::pb] // pb  # (nb,) block indices
+            x3 = x.reshape(x.shape[:-1] + (nb, pb))
+            xp = jnp.take(x3, bp, axis=-2).reshape(x.shape)
+        else:
+            xp = x[..., qt.q_perm]
     else:
         xp = x
 

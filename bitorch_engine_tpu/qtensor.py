@@ -215,6 +215,14 @@ class MBWQTensor(QTensorBase):
     q_perm: Optional[Array] = None
     channel_scale: Optional[Array] = None
     grad_shadow: Optional[Array] = None
+    # When > 0, ``q_perm`` is guaranteed to move whole contiguous blocks of
+    # this many rows (true for our channel-mix quantizer, which permutes
+    # quantization blocks; detected at ingest for external checkpoints).
+    # The forward then gathers (K/perm_block)-many blocks along a non-minor
+    # axis instead of K single rows along the lane axis — the lane gather
+    # costs ~8.5 µs per projection per step on v5e (device trace,
+    # BENCH_NOTES round 2).  0 = arbitrary row permutation (exl2 act-order).
+    perm_block: int = struct.field(pytree_node=False, default=0)
 
     @property
     def in_features(self) -> int:

@@ -228,11 +228,33 @@ def mbwq_from_exl2(
         )
 
     q_perm = None
+    perm_block = 0
     if q_invperm is not None:
         # q_invperm[stored] = logical; our q_perm maps stored→logical too
-        q_perm = jnp.asarray(np.asarray(q_invperm, np.int32))
+        pnp = np.asarray(q_invperm, np.int32)
+        q_perm = jnp.asarray(pnp)
+        perm_block = detect_perm_block(pnp)
     cs = None if channel_scale is None else jnp.asarray(np.asarray(channel_scale, np.float32))
-    return MBWQTensor(segments=tuple(segs), q_perm=q_perm, channel_scale=cs)
+    return MBWQTensor(
+        segments=tuple(segs), q_perm=q_perm, channel_scale=cs, perm_block=perm_block
+    )
+
+
+def detect_perm_block(perm: np.ndarray) -> int:
+    """Largest block size b ∈ {128, 64, 32} such that ``perm`` moves whole
+    contiguous b-row blocks (``perm[i*b:(i+1)*b] == perm[i*b] + arange(b)``
+    with block-aligned starts).  0 for arbitrary permutations (exl2
+    act-order).  Block-structured perms let the forward gather blocks
+    along a non-minor axis instead of rows along the lane axis
+    (``MBWQTensor.perm_block``)."""
+    n = len(perm)
+    for b in (128, 64, 32):
+        if n % b:
+            continue
+        p2 = np.asarray(perm).reshape(-1, b)
+        if (p2[:, 0] % b == 0).all() and (p2 == p2[:, :1] + np.arange(b)).all():
+            return b
+    return 0
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:

@@ -101,3 +101,27 @@ def test_jit():
     x = jnp.ones((2, 3, 256), jnp.float32)
     out = jax.jit(mbwq_linear)(x, qt)
     assert out.shape == (2, 3, 64)
+
+
+def test_block_gather_matches_row_gather():
+    """perm_block block-gather of activations is bit-identical to the
+    generic lane-axis row gather (and quantize_mbwq sets perm_block)."""
+    w = _mk(k=256, n=64, seed=3)
+    qt = quantize_mbwq(w, STRATEGY)
+    assert qt.perm_block == 32  # base group size by construction
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 256)), jnp.float32)
+    out_block = mbwq_linear(x, qt)
+    out_rows = mbwq_linear(x, qt.replace(perm_block=0))
+    np.testing.assert_array_equal(np.asarray(out_block), np.asarray(out_rows))
+
+
+def test_detect_perm_block():
+    from bitorch_engine_tpu.utils.ingest import detect_perm_block
+
+    blocks = np.random.default_rng(0).permutation(8)
+    perm = (blocks[:, None] * 32 + np.arange(32)).reshape(-1)
+    assert detect_perm_block(perm) == 32
+    # whole-array identity is 128-block structured
+    assert detect_perm_block(np.arange(256)) == 128
+    # arbitrary act-order permutation: no block structure
+    assert detect_perm_block(np.random.default_rng(1).permutation(256)) == 0
