@@ -288,9 +288,8 @@ class ContinuousBatcher:
             The n requests run as one batched forward; per-slot caches are
             gathered with ``take`` and scattered back with ``.at[slots]``.
             """
-            pw = 128
-            while pw < tokens.shape[1]:
-                pw *= 2
+            # window 0 = prefill-from-empty: the cached prefix is skipped
+            # entirely (and the flash kernel engages on TPU)
             logits, slot_caches = model_.apply(
                 params,
                 tokens,
@@ -299,7 +298,7 @@ class ContinuousBatcher:
                     for layer in caches
                 ],
                 cache_len=jnp.zeros((), jnp.int32),
-                attn_window=min(pw, max_len_),
+                attn_window=0,
             )
             new_caches = [
                 tuple(
@@ -320,15 +319,12 @@ class ContinuousBatcher:
             in the pool pages named by this admit-wave's table rows."""
             in_tables = [c.page_table for c in caches]
             caches = [c.replace(page_table=table_rows) for c in caches]
-            pw = 128
-            while pw < tokens.shape[1]:
-                pw *= 2
             logits, new_caches = model_.apply(
                 params,
                 tokens,
                 kv_caches=caches,
                 cache_len=jnp.zeros((tokens.shape[0],), jnp.int32),
-                attn_window=min(pw, max_len_),
+                attn_window=0,
             )
             # restore each layer's own table buffer: returning table_rows
             # for every layer would alias ONE output buffer across layers,

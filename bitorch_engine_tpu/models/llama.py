@@ -287,27 +287,34 @@ class LlamaAttention(nn.Module):
                 )
             )(cache, update, positions_)
 
-        # Cache handling is split so the donated pools are NEVER read after
-        # being written: the update is a pure in-place dus/scatter chain
-        # (keeps the parameter layout under donation — slicing the
-        # post-update pool made XLA re-lay-out the whole pool every step on
-        # the 8B GQA, +3.8 ms; writing the new tokens into a pre-update
-        # slice made XLA copy the whole 7B MHA pools to break the
-        # read-write anti-dependency, +7 ms).  Attention instead runs over
-        # [pre-update prefix] + [this step's k/v handled as an explicit
-        # second score block] — the same decomposition a fused decode-
-        # attention kernel uses.
+        # Three read regimes, each the measured optimum (BENCH_NOTES r2):
+        #
+        # * full read (no window / window >= allocation): attend over the
+        #   POST-update cache in one pass.  The dus aliases the donated
+        #   buffer in place and the whole-buffer read adds no layout or
+        #   copy hazards.
+        # * partial window (0 < w < allocation): slicing the post-update
+        #   pool re-lays-out the whole pool every step (8B GQA +3.8 ms),
+        #   and writing tokens into a pre-update slice makes XLA copy the
+        #   pool to break the anti-dependency (7B MHA +7 ms) — so attention
+        #   runs two-part: [pre-update prefix slice] ++ [this step's k/v as
+        #   their own causal score block], one softmax over the concat.
+        # * window == 0 (prefill-from-empty): no cache read at all; pure
+        #   causal attention over the new tokens (flash kernel on TPU).
         k_pre = v_pre = ks_pre = vs_pre = None
+        k_all = v_all = ks_all = vs_all = None
         ks_new = vs_new = None
         prefix_len = 0
+        full_read = False
         if isinstance(kv_cache, PagedKV):
+            full_read = attn_window is None or attn_window >= kv_cache.view_len
             page, off = paged_write_positions(kv_cache, cache_len, b, s)
             tbl = kv_cache.page_table
             ps = kv_cache.page_size
-            if attn_window is not None and attn_window < kv_cache.view_len:
+            if not full_read:
                 # read only the pages covering the window (writes use the
-                # full table)
-                tbl = tbl[:, : max(1, -(-attn_window // ps))]
+                # full table); window 0 = prefill-from-empty, no gather
+                tbl = tbl[:, : max(0 if attn_window == 0 else 1, -(-attn_window // ps))]
             prefix_len = tbl.shape[1] * ps
 
             def gather(pool):
@@ -317,22 +324,32 @@ class LlamaAttention(nn.Module):
             if kv_quant:
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
+                kp = kv_cache.k_pool.at[page, off].set(k_new)
+                vp = kv_cache.v_pool.at[page, off].set(v_new)
+                ksp = kv_cache.k_scale.at[page, off].set(ks_new)
+                vsp = kv_cache.v_scale.at[page, off].set(vs_new)
                 new_cache = kv_cache.replace(
-                    k_pool=kv_cache.k_pool.at[page, off].set(k_new),
-                    v_pool=kv_cache.v_pool.at[page, off].set(v_new),
-                    k_scale=kv_cache.k_scale.at[page, off].set(ks_new),
-                    v_scale=kv_cache.v_scale.at[page, off].set(vs_new),
+                    k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
                 )
-                ks_pre, vs_pre = gather(kv_cache.k_scale), gather(kv_cache.v_scale)
+                if full_read:
+                    k_all, v_all = gather(kp), gather(vp)
+                    ks_all, vs_all = gather(ksp), gather(vsp)
+                elif prefix_len:
+                    ks_pre, vs_pre = gather(kv_cache.k_scale), gather(kv_cache.v_scale)
             else:
                 k_new = k.astype(kv_cache.k_pool.dtype)
                 v_new = v.astype(kv_cache.v_pool.dtype)
-                new_cache = kv_cache.replace(
-                    k_pool=kv_cache.k_pool.at[page, off].set(k_new),
-                    v_pool=kv_cache.v_pool.at[page, off].set(v_new),
-                )
-            k_pre, v_pre = gather(kv_cache.k_pool), gather(kv_cache.v_pool)
+                kp = kv_cache.k_pool.at[page, off].set(k_new)
+                vp = kv_cache.v_pool.at[page, off].set(v_new)
+                new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
+                if full_read:
+                    k_all, v_all = gather(kp), gather(vp)
+            if not full_read and prefix_len:
+                k_pre, v_pre = gather(kv_cache.k_pool), gather(kv_cache.v_pool)
+            kv_len = prefix_len
         elif kv_cache is not None:
+            total_len = (kv_cache[0]).shape[1]
+            full_read = attn_window is None or attn_window >= total_len
             if kv_quant:
                 ck0, cks0, cv0, cvs0 = kv_cache  # int8 (b,L,nkv,hd) + fp scales
                 k_new, ks_new = quantize_kv(k)
@@ -343,20 +360,25 @@ class LlamaAttention(nn.Module):
                     write(cv0, v_new, cache_len),
                     write(cvs0, vs_new, cache_len),
                 )
-                prefix_len = ck0.shape[1]
-                if attn_window is not None and attn_window < prefix_len:
+                if full_read:
+                    k_all, ks_all, v_all, vs_all = new_cache
+                else:
                     prefix_len = attn_window
-                k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
-                ks_pre, vs_pre = cks0[:, :prefix_len], cvs0[:, :prefix_len]
+                    if prefix_len:
+                        k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
+                        ks_pre, vs_pre = cks0[:, :prefix_len], cvs0[:, :prefix_len]
             else:
                 ck0, cv0 = kv_cache  # (b, max_len, nkv, hd)
                 k_new = k.astype(ck0.dtype)
                 v_new = v.astype(cv0.dtype)
                 new_cache = (write(ck0, k_new, cache_len), write(cv0, v_new, cache_len))
-                prefix_len = ck0.shape[1]
-                if attn_window is not None and attn_window < prefix_len:
+                if full_read:
+                    k_all, v_all = new_cache
+                else:
                     prefix_len = attn_window
-                k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
+                    if prefix_len:
+                        k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
+            kv_len = total_len if full_read else prefix_len
         else:
             k_all, v_all = k, v
             kv_len = s
@@ -398,18 +420,88 @@ class LlamaAttention(nn.Module):
         # largest stream after the packed weights.
         qg = q.reshape(b, s, nkv, rep, hd)
         neg = jnp.finfo(jnp.float32).min
-        if kv_cache is None:
+        if kv_cache is None or full_read:
             scores = jnp.einsum(
                 "bqgrd,bkgd->bgrqk",
                 qg,
                 k_all.astype(qg.dtype),
                 preferred_element_type=jnp.float32,
             ) / math.sqrt(hd)
+            if kv_quant:
+                # per-position scales factor out of the head_dim contraction
+                scores = scores * ks_all.transpose(0, 2, 1)[:, :, None, None, :]
+            # causal mask in absolute positions (works for prefill & decode)
             kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, kv_len), 4)
             q_pos = positions[:, None, None, :, None]
-            scores = jnp.where(kv_pos <= q_pos, scores, neg)
+            mask = kv_pos <= q_pos
+            if kv_cache is not None:
+                valid = (
+                    cache_len + s
+                    if jnp.ndim(cache_len) == 0
+                    else (cache_len + s)[:, None, None, None, None]
+                )
+                mask = jnp.logical_and(mask, kv_pos < valid)
+            scores = jnp.where(mask, scores, neg)
             probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+            if kv_quant:
+                probs = probs * vs_all.transpose(0, 2, 1)[:, :, None, None, :].astype(
+                    probs.dtype
+                )
             ctx = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v_all.astype(probs.dtype))
+            ctx = ctx.reshape(b, s, nh * hd)
+            out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+            return out, new_cache
+
+        if prefix_len == 0:
+            # prefill-from-empty (attn_window == 0): pure causal attention
+            # over this step's tokens.  Uses the (de)quantized k/v so the
+            # logits match what a later cache read would produce.
+            if kv_quant:
+                kd = (k_new.astype(jnp.float32) * ks_new[..., None]).astype(cfg.dtype)
+                vd = (v_new.astype(jnp.float32) * vs_new[..., None]).astype(cfg.dtype)
+            else:
+                kd, vd = k_new.astype(cfg.dtype), v_new.astype(cfg.dtype)
+            if (
+                cfg.use_flash_attention
+                and s > 1
+                and jax.default_backend() == "tpu"
+                and s % 128 == 0
+                and hd >= 128
+            ):
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    flash_attention,
+                )
+
+                ctx = flash_attention(
+                    q.transpose(0, 2, 1, 3).astype(cfg.dtype),
+                    jnp.repeat(kd, rep, axis=2).transpose(0, 2, 1, 3),
+                    jnp.repeat(vd, rep, axis=2).transpose(0, 2, 1, 3),
+                    causal=True,
+                    sm_scale=1.0 / math.sqrt(hd),
+                ).transpose(0, 2, 1, 3).astype(cfg.dtype)
+            else:
+                # same math as the two-part sc_n block (codes in the dot,
+                # scales factored out) so window=0 is bit-identical to a
+                # covering window over an empty cache
+                sc = jnp.einsum(
+                    "bqgrd,bkgd->bgrqk",
+                    qg,
+                    k_new.astype(qg.dtype),
+                    preferred_element_type=jnp.float32,
+                ) / math.sqrt(hd)
+                if kv_quant:
+                    sc = sc * ks_new.transpose(0, 2, 1)[:, :, None, None, :]
+                iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, s), 3)
+                ik = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, s), 4)
+                sc = jnp.where(ik <= iq, sc, neg)
+                probs = jax.nn.softmax(sc, axis=-1).astype(cfg.dtype)
+                if kv_quant:
+                    probs = probs * vs_new.transpose(0, 2, 1)[
+                        :, :, None, None, :
+                    ].astype(probs.dtype)
+                ctx = jnp.einsum(
+                    "bgrqk,bkgd->bqgrd", probs, v_new.astype(probs.dtype)
+                )
             ctx = ctx.reshape(b, s, nh * hd)
             out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
             return out, new_cache
@@ -682,7 +774,14 @@ def decode_step(model: LlamaModel, params, tokens, kv_caches, cache_len):
 
 
 def prefill(model: LlamaModel, params, tokens, kv_caches):
-    """Prefill the cache with a full prompt; returns (logits, caches)."""
+    """Prefill the cache with a full prompt; returns (logits, caches).
+
+    ``attn_window=0``: the (empty) cached prefix is skipped entirely and
+    the flash-attention kernel engages on TPU."""
     return model.apply(
-        params, tokens, kv_caches=kv_caches, cache_len=jnp.zeros((), jnp.int32)
+        params,
+        tokens,
+        kv_caches=kv_caches,
+        cache_len=jnp.zeros((), jnp.int32),
+        attn_window=0,
     )
