@@ -151,11 +151,13 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     # bucketed attention window: decode at position p reads the cache
     # prefix of the smallest power-of-2 bucket >= p+1 instead of the whole
     # CACHE_LEN (bit-identical; tests/test_llama.py window tests).
-    # BENCH_WINDOW=0 disables (full-cache reads every step).
+    # BENCH_WINDOW=0 disables (full-cache reads every step).  Bucket floor
+    # 256: on the 8-kv-head GQA config w=256 beats w=128 by ~5% (v5e A/B,
+    # BENCH_NOTES round 2); MHA models prefer 128.
     windowed = os.environ.get("BENCH_WINDOW", "1") != "0"
 
     def bucket(n):
-        w = 128
+        w = 256
         while w < n:
             w *= 2
         return min(w, CACHE_LEN)
@@ -194,8 +196,8 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     if windowed:
         windowed = False
         full = min(timed(50), timed(50))
-    # the timed positions (11..110) all fall in the 128 bucket
-    return dt, (128 if full is not None else CACHE_LEN), full
+    # the timed positions (11..110) all fall in the first bucket
+    return dt, (256 if full is not None else CACHE_LEN), full
 
 
 def main():

@@ -448,8 +448,11 @@ class ContinuousBatcher:
 
     def _window(self, needed: int) -> int:
         """Smallest power-of-2 attention bucket covering ``needed`` cache
-        positions (min 128 to bound compile count), capped at max_len."""
-        w = 128
+        positions, capped at max_len.  The floor bounds compile count and
+        is a measured per-architecture optimum (v5e A/B, BENCH_NOTES
+        round 2): GQA decode prefers 256, MHA 128."""
+        cfg = self.cfg
+        w = 256 if cfg.num_kv_heads < cfg.num_heads else 128
         while w < needed:
             w *= 2
         return min(w, self.max_len)
