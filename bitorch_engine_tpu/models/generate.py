@@ -129,12 +129,20 @@ class ContinuousBatcher:
         kv_pages: Optional[int] = None,
         kv_page_size: int = 64,
         mesh=None,
+        prefill_chunk: Optional[int] = None,
     ):
         """``decode_chunk``: decode T tokens per host sync (one ``lax.scan``
         on device).  T>1 amortizes dispatch/fetch latency — essential for
         high-RTT links, and still saves ~T× host overhead locally — at the
         cost of up to T-1 wasted slot-steps after a mid-chunk EOS (the slot
         is re-prefilled on the next admit, so correctness is unaffected).
+
+        ``prefill_chunk``: split prompts longer than this (a power of 2)
+        into fixed C-token prefill chunks run sequentially through the
+        mid-sequence prefill path (cache_len > 0, two-part attention).
+        Bounds compile cost to ONE graph per (C, window) pair regardless
+        of prompt length instead of one graph per power-of-2 bucket, and
+        caps the activation footprint of very long prompts.
 
         ``kv_pages``: enable the paged KV cache with this many pool pages
         of ``kv_page_size`` tokens each (page 0 is reserved; usable
@@ -160,6 +168,11 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self.temperature = temperature
         self.decode_chunk = max(1, int(decode_chunk))
+        if prefill_chunk is not None and (
+            prefill_chunk < 8 or prefill_chunk & (prefill_chunk - 1)
+        ):
+            raise ValueError(f"prefill_chunk must be a power of 2 >= 8, got {prefill_chunk}")
+        self.prefill_chunk = prefill_chunk
         self.mesh = mesh
         dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
         if mesh is not None and num_slots % dp:
@@ -339,6 +352,74 @@ class ContinuousBatcher:
 
         self._prefill_slots_paged = _prefill_slots_paged
 
+        vocab_ = self.cfg.vocab_size
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("window",)
+        )
+        def _prefill_chunk_slots(
+            params, caches, tokens, slots, true_lens, last, base, window
+        ):
+            """One C-token prefill chunk at cache offset ``base`` (traced
+            scalar — chunk index changes don't recompile; only the static
+            ``window`` bucket does).  ``last`` carries each request's
+            final-prompt-token logits across chunks."""
+            n, C = tokens.shape
+            positions = base + jnp.arange(C, dtype=jnp.int32)[None, :]
+            positions = jnp.broadcast_to(positions, (n, C))
+            logits, slot_caches = model_.apply(
+                params,
+                tokens,
+                positions=positions,
+                kv_caches=[
+                    tuple(jnp.take(a, slots, axis=0) for a in layer)
+                    for layer in caches
+                ],
+                cache_len=base.astype(jnp.int32),
+                attn_window=window,
+            )
+            new_caches = [
+                tuple(a.at[slots].set(sa) for a, sa in zip(layer, slayer))
+                for layer, slayer in zip(caches, slot_caches)
+            ]
+            idx = jnp.clip(true_lens - 1 - base, 0, C - 1)
+            picked = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+            inrange = (true_lens - 1 >= base) & (true_lens - 1 < base + C)
+            last = jnp.where(inrange[:, None], picked, last)
+            return last, new_caches
+
+        self._prefill_chunk_slots = _prefill_chunk_slots
+
+        @functools.partial(
+            jax.jit, donate_argnums=(1,), static_argnames=("window",)
+        )
+        def _prefill_chunk_paged(
+            params, caches, tokens, table_rows, true_lens, last, base, window
+        ):
+            in_tables = [c.page_table for c in caches]
+            caches = [c.replace(page_table=table_rows) for c in caches]
+            n, C = tokens.shape
+            positions = base + jnp.arange(C, dtype=jnp.int32)[None, :]
+            positions = jnp.broadcast_to(positions, (n, C))
+            logits, new_caches = model_.apply(
+                params,
+                tokens,
+                positions=positions,
+                kv_caches=caches,
+                cache_len=base.astype(jnp.int32),
+                attn_window=window,
+            )
+            new_caches = [
+                c.replace(page_table=t) for c, t in zip(new_caches, in_tables)
+            ]
+            idx = jnp.clip(true_lens - 1 - base, 0, C - 1)
+            picked = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+            inrange = (true_lens - 1 >= base) & (true_lens - 1 < base + C)
+            last = jnp.where(inrange[:, None], picked, last)
+            return last, new_caches
+
+        self._prefill_chunk_paged = _prefill_chunk_paged
+
     def _put(self, arr, sharding):
         if sharding is None:
             return jnp.asarray(arr)
@@ -417,7 +498,10 @@ class ContinuousBatcher:
             for i, req in enumerate(batch):
                 padded[i, : len(req.prompt)] = req.prompt
             true_lens = np.asarray([len(r.prompt) for r in batch], np.int32)
-            if self.paged:
+            chunked = self.prefill_chunk is not None and bucket > self.prefill_chunk
+            if chunked:
+                logits = self._prefill_chunked(padded, slots, true_lens)
+            elif self.paged:
                 logits, self.caches = self._prefill_slots_paged(
                     self.params,
                     self.caches,
@@ -445,6 +529,41 @@ class ContinuousBatcher:
                 self.active[s] = req
                 self.positions[s] = len(req.prompt)
                 self.cur_tok[s, 0] = nxt
+
+    def _prefill_chunked(self, padded, slots, true_lens):
+        """Sequential C-token prefill chunks over one admit wave.  Chunk j
+        writes positions [j·C, (j+1)·C) and attends over [pre-update prefix
+        window] ++ [the chunk, causal] — the generic mid-sequence prefill.
+        Returns each request's final-prompt-token logits."""
+        C = self.prefill_chunk
+        n, bucket = padded.shape
+        tl = self._put(true_lens, self._vec_sharding)
+        last = jnp.zeros((n, self.cfg.vocab_size), jnp.float32)
+        if self._tok_sharding is not None:
+            last = jax.device_put(last, self._tok_sharding)
+        table_rows = (
+            self._put(self.allocator.table[slots], self._table_sharding)
+            if self.paged
+            else None
+        )
+        slots_j = None if self.paged else self._put(
+            np.asarray(slots, np.int32), self._vec_sharding
+        )
+        for j in range(bucket // C):
+            toks = self._put(padded[:, j * C : (j + 1) * C], self._tok_sharding)
+            base = jnp.asarray(j * C, jnp.int32)
+            window = 0 if j == 0 else self._window(j * C)
+            if self.paged:
+                last, self.caches = self._prefill_chunk_paged(
+                    self.params, self._caches_in() if j == 0 else self.caches,
+                    toks, table_rows, tl, last, base, window=window,
+                )
+            else:
+                last, self.caches = self._prefill_chunk_slots(
+                    self.params, self.caches, toks, slots_j, tl, last, base,
+                    window=window,
+                )
+        return last
 
     def _window(self, needed: int) -> int:
         """Smallest power-of-2 attention bucket covering ``needed`` cache

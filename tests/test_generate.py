@@ -237,3 +237,25 @@ def test_continuous_batcher_mixed_bucket_admission(tiny):
     # one dispatch for the 16-bucket head + one for the three 8-bucket
     # prompts pulled together from behind it
     assert calls["n"] == 2, calls["n"]
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_chunked_prefill_matches_whole(tiny, paged):
+    """prefill_chunk=8: long prompts prefilled in sequential 8-token chunks
+    produce the same greedy outputs as whole-bucket prefill (regimes differ
+    only in f32 reduction-order ulps)."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, cfg.vocab_size, n).tolist() for n in (21, 5, 17, 12)]
+    kw = dict(num_slots=2, max_len=64)
+    if paged:
+        kw.update(kv_pages=1 + 2 * 8, kv_page_size=8)
+
+    ref = ContinuousBatcher(model, params, **kw)
+    chk = ContinuousBatcher(model, params, prefill_chunk=8, **kw)
+    for b in (ref, chk):
+        for p in prompts:
+            b.submit(p, max_new_tokens=6)
+    out_ref = {r.uid: r.generated for r in ref.run()}
+    out_chk = {r.uid: r.generated for r in chk.run()}
+    assert out_ref == out_chk
