@@ -116,3 +116,55 @@ class RooflineReport:
             with open(path, "w") as f:
                 f.write(s)
         return s
+
+
+def device_op_table(logdir: str, top: int = 20) -> List[Dict]:
+    """Aggregate a :func:`trace` directory into a per-op-category device
+    time table (the analysis loop behind every BENCH_NOTES device trace).
+
+    Parses the Perfetto ``*.trace.json.gz`` files, keeps only events on TPU
+    device tracks (host rows would double-count), strips trailing
+    ``.<digits>`` so HLO instances group by op category, and keys by
+    ``category -> output type/shape`` from the HLO long name.  Returns rows
+    ``{key, us, count, example}`` sorted by total device time.
+    """
+    import collections
+    import glob
+    import gzip
+    import re
+
+    files = glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no trace files under {logdir}")
+    dev_pids = set()
+    all_events = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        evs = data.get("traceEvents", [])
+        for ev in evs:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                if "TPU" in (ev.get("args") or {}).get("name", ""):
+                    dev_pids.add(ev["pid"])
+        all_events.append(evs)
+    by = collections.Counter()
+    cnt = collections.Counter()
+    example: Dict[str, str] = {}
+    for evs in all_events:
+        for ev in evs:
+            if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+                continue
+            name = ev.get("name", "")
+            if name.startswith("jit_"):  # umbrella module event
+                continue
+            long_name = (ev.get("args") or {}).get("long_name", "")
+            cat = re.sub(r"[.\d]+$", "", name)
+            m = re.match(r"%\S+ = (\S+?)\{", long_name)
+            key = cat + (" -> " + m.group(1) if m else "")
+            by[key] += ev.get("dur", 0)
+            cnt[key] += 1
+            example.setdefault(key, long_name[:160])
+    return [
+        {"key": k, "us": us, "count": cnt[k], "example": example[k]}
+        for k, us in by.most_common(top)
+    ]

@@ -45,3 +45,24 @@ def test_device_scalars_logged(tmp_path):
     lg.finalize()
     rec = json.loads(open(lg.path).read())
     assert rec == {"step": 3, "loss": 0.25}
+
+
+def test_device_op_table(tmp_path):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from bitorch_engine_tpu.utils import profiling
+
+    logdir = str(tmp_path / "tr")
+    f = jax.jit(lambda a, b: (a @ b).sum())
+    x = jnp.ones((128, 128))
+    f(x, x).block_until_ready()
+    with profiling.trace(logdir):
+        f(x, x).block_until_ready()
+    try:
+        rows = profiling.device_op_table(logdir)
+    except FileNotFoundError:
+        return  # CPU runs may not emit a device trace; the TPU path is the target
+    assert isinstance(rows, list)
+    for r in rows:
+        assert {"key", "us", "count", "example"} <= set(r)
