@@ -77,6 +77,19 @@ def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
         except NotImplementedError:
             pass
 
+    if _use_pallas():
+        # m>MAX_FUSED_ROWS (prefill/training): reconstruct-then-MXU, the
+        # reference's reconstruct+cuBLAS regime — via the streaming dequant
+        # kernel (XLA's generic unpack materializes u32 per code, ~34% of
+        # the 8B prefill step; BENCH_NOTES round 2)
+        from .pallas.dequant_matmul import dequant_mpq_pallas
+
+        try:
+            w = dequant_mpq_pallas(qt, dtype=x.dtype)
+            out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
+            return out.reshape(*lead, -1)
+        except NotImplementedError:
+            pass
     w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
     out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
     return out.reshape(*lead, -1)

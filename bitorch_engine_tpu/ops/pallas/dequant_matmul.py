@@ -455,3 +455,130 @@ def mpq_matmul_pallas(
         block_n=block_n,
         layout=qt.layout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dequant-only kernel: packed → bf16 weight, for the m>MAX_FUSED_ROWS regime
+# ---------------------------------------------------------------------------
+
+
+def _dequant_kernel(
+    packed_ref,
+    scales_ref,
+    zeros_ref,
+    out_ref,
+    *,
+    w_bit: int,
+    group_size: int,
+    gpk: int,
+    meta3d: bool,
+    layout: str,
+):
+    scales_blk = scales_ref[0] if meta3d else scales_ref[:]
+    zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    zeros_eff = zeros_blk.astype(jnp.float32)
+    if layout == "tpu_pair":
+        zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
+    packed = packed_ref[:].astype(jnp.uint32)
+    parts = []
+    for g in range(gpk):
+        q = _unpack_group_to_dtype(
+            packed[g * bkp : (g + 1) * bkp, :], w_bit, layout, jnp.float32
+        )
+        w = q * scales_blk[g : g + 1, :].astype(jnp.float32) - zeros_eff[g : g + 1, :]
+        parts.append(w)
+    out_ref[:] = jnp.concatenate(parts, axis=0).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w_bit", "group_size", "layout", "out_dtype", "interpret"),
+)
+def _dequant_call(
+    packed, scales, zeros, *, w_bit, group_size, layout, out_dtype, interpret=False
+):
+    n = packed.shape[1]
+    ppw = 32 // w_bit
+    k = packed.shape[0] * ppw
+    gs = group_size
+    # dequant-specific tiles, NOT the matmul table: the output block here is
+    # (k_step, bn) bf16 plus per-group f32 temporaries, so k_step*bn must
+    # stay ~1-2 MB or the kernel blows the scoped-VMEM limit (the matmul
+    # kernel's out block is only (bm, bn))
+    bn_d = None
+    for cand in (1024, 512, 256, 128):
+        if n % cand == 0:
+            bn_d = cand
+            break
+    if bn_d is None:
+        bn_d = n
+    _, gpk, bn = _pick_tiles(
+        8, k, n, w_bit, gs, k_step_rows=min(512, k), block_n=bn_d, layout=layout
+    )
+    nk, nn = (k // gs) // gpk, n // bn
+    bkp = gs // ppw
+    meta3d = gpk % 8 != 0
+    if meta3d:
+        scales_in = scales.reshape(nk, gpk, n)
+        zeros_in = zeros.reshape(nk, gpk, n)
+        meta_spec = pl.BlockSpec((1, gpk, bn), lambda i_k, i_n: (i_k, 0, i_n))
+    else:
+        scales_in = scales
+        zeros_in = zeros
+        meta_spec = pl.BlockSpec((gpk, bn), lambda i_k, i_n: (i_k, i_n))
+    kernel = functools.partial(
+        _dequant_kernel,
+        w_bit=w_bit,
+        group_size=gs,
+        gpk=gpk,
+        meta3d=meta3d,
+        layout=layout,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nk, nn),
+        in_specs=[
+            pl.BlockSpec((gpk * bkp, bn), lambda i_k, i_n: (i_k, i_n)),
+            meta_spec,
+            meta_spec,
+        ],
+        out_specs=pl.BlockSpec((gpk * gs, bn), lambda i_k, i_n: (i_k, i_n)),
+        out_shape=jax.ShapeDtypeStruct((k, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(packed, scales_in, zeros_in)
+
+
+def dequant_mpq_pallas(qt: MPQTensor, dtype=jnp.bfloat16, interpret: bool = False):
+    """Reconstruct the fp weight ``(K, N)`` with one streaming Pallas pass.
+
+    The m>MAX_FUSED_ROWS regime (prefill/training — the reference's
+    reconstruct+cuBLAS path, ``mbwq_linear_cuda_kernel.cu:946-956``)
+    previously dequantized through XLA's generic unpack, which materializes
+    a u32 copy of every code (4 bytes/code: ~470 MB per gate|up projection)
+    — measured ~34% of the whole 8B prefill step (BENCH_NOTES round 2).
+    This kernel reads packed words once and writes bf16 once.  Bit-exact
+    with :func:`~...ops.quant.dequantize_mpq` (both compute ``q·s − z`` in
+    f32 and cast).  Raises NotImplementedError for configs the kernel
+    doesn't cover (q_perm/g_idx/asym or non-tiling shapes) — callers fall
+    back to the XLA path.
+    """
+    if qt.q_perm is not None or qt.g_idx is not None:
+        raise NotImplementedError("q_perm/g_idx dequant stays on the XLA path")
+    qt = prepare_for_kernel(qt)
+    if qt.asym:
+        raise NotImplementedError("asym is rewritten by relayout_tpu")
+    return _dequant_call(
+        qt.packed,
+        qt.scales,
+        qt.zeros,
+        w_bit=qt.w_bit,
+        group_size=qt.group_size,
+        layout=qt.layout,
+        out_dtype=dtype,
+        interpret=interpret,
+    )

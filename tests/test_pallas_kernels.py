@@ -202,3 +202,21 @@ def test_relayout_meta_dtype_on_already_relayouted():
     qt2 = relayout_tpu(qt1, meta_dtype=jnp.bfloat16)
     assert qt2.scales.dtype == jnp.bfloat16 and qt2.zeros.dtype == jnp.bfloat16
     assert qt2.layout == qt1.layout
+
+
+@pytest.mark.parametrize("w_bit,gs", [(4, 128), (2, 64), (8, 64)])
+def test_dequant_kernel_matches_xla(w_bit, gs):
+    """dequant_mpq_pallas (interpret) is bit-exact with dequantize_mpq on
+    the relayouted tensor (both compute q*s - z in f32, cast at the end)."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import (
+        dequant_mpq_pallas,
+        relayout_tpu,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (512, 256), jnp.float32) * 0.05
+    qt = relayout_tpu(
+        quant.quantize_mpq(w, w_bit=w_bit, group_size=gs), meta_dtype=jnp.bfloat16
+    )
+    got = dequant_mpq_pallas(qt, dtype=jnp.bfloat16, interpret=True)
+    ref = quant.dequantize_mpq(qt, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
