@@ -166,7 +166,9 @@ def dequantize_mbwq(qt: MBWQTensor, dtype=jnp.float32) -> Array:
     ``q_perm``, un-apply channel_scale is NOT done (the reference's
     channel_scale multiplies activations, not the stored weight).
     """
-    parts = [dequantize_mpq(seg, dtype=jnp.float32) for seg in qt.segments]
+    from .mpq_linear import reconstruct_weight
+
+    parts = [reconstruct_weight(seg, dtype=jnp.float32) for seg in qt.segments]
     stored = jnp.concatenate(parts, axis=0)  # (K, N) in segment order
     if qt.q_perm is not None:
         k = stored.shape[0]

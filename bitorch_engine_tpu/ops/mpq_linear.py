@@ -77,22 +77,34 @@ def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
         except NotImplementedError:
             pass
 
-    if _use_pallas():
-        # m>MAX_FUSED_ROWS (prefill/training): reconstruct-then-MXU, the
-        # reference's reconstruct+cuBLAS regime — via the streaming dequant
-        # kernel (XLA's generic unpack materializes u32 per code, ~34% of
-        # the 8B prefill step; BENCH_NOTES round 2)
+    w = reconstruct_weight(qt, dtype=x.dtype)  # (K, N)
+    out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return out.reshape(*lead, -1)
+
+
+def reconstruct_weight(qt: MPQTensor, dtype) -> Array:
+    """Logical fp weight ``(K, N)`` — the reconstruct half of the
+    m>MAX_FUSED_ROWS reconstruct-then-MXU regime (the reference's
+    reconstruct+cuBLAS path).  On TPU this runs the streaming dequant
+    kernel (bit-exact with :func:`dequantize_mpq`; XLA's generic unpack
+    materializes a u32 per code — measured 34% of the 8B prefill step,
+    BENCH_NOTES round 2), falling back to XLA where the kernel doesn't
+    apply."""
+    if _use_pallas() and qt.g_idx is None:
         from .pallas.dequant_matmul import dequant_mpq_pallas
 
         try:
-            w = dequant_mpq_pallas(qt, dtype=x.dtype)
-            out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
-            return out.reshape(*lead, -1)
+            w = dequant_mpq_pallas(
+                qt.replace(q_perm=None) if qt.q_perm is not None else qt,
+                dtype=dtype,
+            )
+            if qt.q_perm is not None:
+                # rows stored permuted; same scatter as dequantize_mpq
+                w = jnp.zeros_like(w).at[qt.q_perm].set(w)
+            return w
         except NotImplementedError:
             pass
-    w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
-    out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
-    return out.reshape(*lead, -1)
+    return dequantize_mpq(qt, dtype=dtype)
 
 
 def _mpq_fwd(x, qt):
@@ -107,7 +119,7 @@ def _mpq_bwd(res, g):
     g2d = g.reshape(-1, n).astype(x.dtype)
     x2d = x.reshape(-1, k)
 
-    w = dequantize_mpq(qt, dtype=x.dtype)  # (K, N)
+    w = reconstruct_weight(qt, dtype=x.dtype)  # (K, N)
     grad_input = jnp.dot(g2d, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
 
     gw = None
