@@ -53,6 +53,12 @@ class LlamaConfig:
     # KV-cache einsum path). Greenfield vs the reference's O(L²) BMHA
     # softmax (SURVEY.md §5 long-context row).
     use_flash_attention: bool = struct.field(pytree_node=False, default=True)
+    # Rematerialize each decoder block on the backward pass (training only;
+    # ignored when kv_caches are passed).  Activation memory per block drops
+    # from O(seq·hidden + seq²·heads) to the block boundary tensors — the
+    # standard TPU memory-for-FLOPs trade for long-sequence fine-tuning
+    # (recompute costs ~1/3 extra forward FLOPs).
+    remat: bool = struct.field(pytree_node=False, default=False)
     # 'bf16' or 'int8': int8 halves the per-step cache stream and doubles
     # capacity; per-position scales factor out of both attention
     # contractions so the int8 payload feeds the MXU directly (greenfield —
@@ -647,10 +653,17 @@ class LlamaModel(nn.Module):
             )
             x = embed[tokens].astype(cfg.dtype)
 
+        block_cls = LlamaBlock
+        if cfg.remat and kv_caches is None:
+            # rematerialized blocks for training: flax.linen.remat wraps the
+            # module so the backward pass recomputes block activations
+            # (kv_cache/cache_len/attn_window are None here — empty pytrees,
+            # no static marking needed)
+            block_cls = nn.remat(LlamaBlock)
         new_caches = []
         for i in range(cfg.num_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
-            x, nc = LlamaBlock(cfg, name=f"layer_{i}")(
+            x, nc = block_cls(cfg, name=f"layer_{i}")(
                 x, positions, cache_i, cache_len, attn_window
             )
             new_caches.append(nc)

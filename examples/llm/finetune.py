@@ -33,6 +33,11 @@ def main():
     p.add_argument(
         "--mesh", help="dp,tp (e.g. 2,4) — shards the step over virtual devices"
     )
+    p.add_argument(
+        "--remat",
+        action="store_true",
+        help="rematerialize decoder blocks on backward (long-seq memory)",
+    )
     args = p.parse_args()
 
     if args.mesh:
@@ -54,7 +59,7 @@ def main():
     )
     from bitorch_engine_tpu.utils import prepare_for_training
 
-    cfg = tiny_llama(dtype=jnp.float32, w_bit=args.w_bit)
+    cfg = tiny_llama(dtype=jnp.float32, w_bit=args.w_bit, remat=args.remat)
     model = LlamaModel(cfg)
     tokens = jnp.zeros((args.batch, args.seq), jnp.int32)
     params = prepare_for_training(model.init(jax.random.PRNGKey(0), tokens))

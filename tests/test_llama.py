@@ -494,3 +494,32 @@ def test_attn_window_zero_prefill(kv_dtype):
                           kv_caches=c16, cache_len=jnp.asarray(8, jnp.int32),
                           attn_window=16)
     np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
+
+
+def test_remat_training_matches_no_remat():
+    """cfg.remat recomputes block activations on backward; loss and grads
+    must match the non-remat graph exactly (same primals, same math)."""
+    from bitorch_engine_tpu.training import cross_entropy_loss
+    from bitorch_engine_tpu.utils import prepare_for_training
+
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 256)
+
+    def build(remat):
+        cfg = tiny_llama(dtype=jnp.float32, remat=remat)
+        model = LlamaModel(cfg)
+        params = prepare_for_training(
+            model.init(jax.random.PRNGKey(1), toks)
+        )
+        def loss_fn(p):
+            logits, _ = model.apply(p, toks)
+            return cross_entropy_loss(logits[:, :-1], toks[:, 1:])
+        return jax.jit(jax.value_and_grad(loss_fn, allow_int=True)), params
+
+    f0, p0 = build(False)
+    f1, p1 = build(True)
+    l0, g0 = f0(p0)
+    l1, g1 = f1(p1)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
