@@ -59,6 +59,14 @@ class LlamaConfig:
     # standard TPU memory-for-FLOPs trade for long-sequence fine-tuning
     # (recompute costs ~1/3 extra forward FLOPs).
     remat: bool = struct.field(pytree_node=False, default=False)
+    # Sequence parallelism for cache-less (training / full-prefill) attention:
+    # 'ring' (ppermute KV rotation, parallel/ring_attention.py) or 'ulysses'
+    # (all-to-all head redistribution, parallel/ulysses.py), with the
+    # sequence axis sharded over mesh axis ``sp_axis`` of ``sp_mesh``.
+    # Greenfield vs the reference (SURVEY §5: no long-context support).
+    sequence_parallel: Optional[str] = struct.field(pytree_node=False, default=None)
+    sp_mesh: Any = struct.field(pytree_node=False, default=None)
+    sp_axis: str = struct.field(pytree_node=False, default="sp")
     # 'bf16' or 'int8': int8 halves the per-step cache stream and doubles
     # capacity; per-position scales factor out of both attention
     # contractions so the int8 payload feeds the MXU directly (greenfield —
@@ -391,6 +399,30 @@ class LlamaAttention(nn.Module):
             new_cache = None
 
         rep = nh // nkv
+
+        if cfg.sequence_parallel is not None and kv_cache is None and s > 1:
+            # sequence-parallel exact attention: seq axis sharded over
+            # cfg.sp_axis; KV heads repeated to full heads (ring/ulysses
+            # operate per-head).  Positions are the global arange — the
+            # standard full-sequence training layout.
+            qh = q.transpose(0, 2, 1, 3).astype(cfg.dtype)  # (b, nh, s, d)
+            kh = jnp.repeat(k, rep, axis=2).transpose(0, 2, 1, 3).astype(cfg.dtype)
+            vh = jnp.repeat(v, rep, axis=2).transpose(0, 2, 1, 3).astype(cfg.dtype)
+            if cfg.sequence_parallel == "ring":
+                from ..parallel.ring_attention import ring_attention
+
+                ctx = ring_attention(qh, kh, vh, mesh=cfg.sp_mesh, axis=cfg.sp_axis)
+            elif cfg.sequence_parallel == "ulysses":
+                from ..parallel.ulysses import ulysses_attention
+
+                ctx = ulysses_attention(qh, kh, vh, mesh=cfg.sp_mesh, axis=cfg.sp_axis)
+            else:
+                raise ValueError(
+                    f"unknown sequence_parallel {cfg.sequence_parallel!r}"
+                )
+            ctx = ctx.transpose(0, 2, 1, 3).astype(cfg.dtype).reshape(b, s, nh * hd)
+            out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+            return out, new_cache
 
         use_flash = (
             cfg.use_flash_attention

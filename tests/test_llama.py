@@ -523,3 +523,53 @@ def test_remat_training_matches_no_remat():
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         if a.dtype.kind in "fc":
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["ring", "ulysses"])
+def test_sequence_parallel_training_matches_single(kind):
+    """cfg.sequence_parallel wires ring/Ulysses attention into cache-less
+    (training) forwards; logits must match the single-device model."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(4), axis_names=("sp",))
+
+    cfg0 = tiny_llama(dtype=jnp.float32, use_flash_attention=False)
+    model0 = LlamaModel(cfg0)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 32), 0, cfg0.vocab_size)
+    params = model0.init(jax.random.PRNGKey(1), toks)
+    ref, _ = model0.apply(params, toks)
+
+    cfg1 = tiny_llama(dtype=jnp.float32, use_flash_attention=False,
+                      sequence_parallel=kind, sp_mesh=mesh)
+    model1 = LlamaModel(cfg1)
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, P(None, "sp")))
+    with mesh:
+        got, _ = jax.jit(lambda p, t: model1.apply(p, t))(params, toks_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_sequence_parallel_grads_flow():
+    """Gradients flow through the sequence-parallel attention (training)."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(4), axis_names=("sp",))
+    cfg = tiny_llama(dtype=jnp.float32, use_flash_attention=False,
+                     sequence_parallel="ring", sp_mesh=mesh)
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 32), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+
+    def loss(p):
+        logits, _ = model.apply(p, toks)
+        return jnp.mean(logits**2)
+
+    with mesh:
+        g = jax.jit(jax.grad(loss, allow_int=True))(params)
+    leaves = [x for x in jax.tree_util.tree_leaves(g) if x.dtype.kind == "f"]
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
