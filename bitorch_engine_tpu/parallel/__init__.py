@@ -6,3 +6,6 @@ from .sharding import (  # noqa: F401
     partition_specs,
     shard_params,
 )
+from .pipeline import pipeline_apply, stack_stages, stage_shardings  # noqa: F401
+from .ring_attention import ring_attention  # noqa: F401
+from .ulysses import ulysses_attention  # noqa: F401
