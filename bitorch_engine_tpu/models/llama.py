@@ -67,6 +67,14 @@ class LlamaConfig:
     sequence_parallel: Optional[str] = struct.field(pytree_node=False, default=None)
     sp_mesh: Any = struct.field(pytree_node=False, default=None)
     sp_axis: str = struct.field(pytree_node=False, default="sp")
+    # Mixture-of-experts MLP (Mixtral-style): > 0 replaces every block's
+    # dense SwiGLU with moe_num_experts quantized experts + top-k routing
+    # (ops/moe.py).  The load-balance aux loss is sowed to the 'losses'
+    # collection: apply with ``mutable=['losses']`` during training and add
+    # it to the objective.  Greenfield — the reference is dense-only.
+    moe_num_experts: int = struct.field(pytree_node=False, default=0)
+    moe_top_k: int = struct.field(pytree_node=False, default=2)
+    moe_capacity_factor: float = struct.field(pytree_node=False, default=1.25)
     # 'bf16' or 'int8': int8 halves the per-step cache stream and doubles
     # capacity; per-position scales factor out of both attention
     # contractions so the int8 payload feeds the MXU directly (greenfield —
@@ -155,6 +163,23 @@ def qwen2_7b(**overrides) -> LlamaConfig:
         rope_theta=1000000.0,
         rms_eps=1e-6,
         attn_qkv_bias=True,
+    )
+    defaults.update(overrides)
+    return LlamaConfig(**defaults)
+
+
+def mixtral_8x7b(**overrides) -> LlamaConfig:
+    """Mixtral-8x7B: llama architecture + 8-expert top-2 MoE MLPs."""
+    defaults = dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        rope_theta=1e6,
+        moe_num_experts=8,
+        moe_top_k=2,
     )
     defaults.update(overrides)
     return LlamaConfig(**defaults)
@@ -605,6 +630,53 @@ class LlamaMLP(nn.Module):
         return _proj(cfg, cfg.hidden_size, "down_proj")(h)
 
 
+class QuantMoEMLP(nn.Module):
+    """Mixtral-style MoE MLP: quantized SwiGLU experts + top-k router."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.moe import init_moe_experts, moe_mlp
+
+        cfg = self.cfg
+        router = self.param(
+            "router",
+            nn.initializers.normal(0.02),
+            (cfg.hidden_size, cfg.moe_num_experts),
+            jnp.float32,
+        )
+        experts = self.param(
+            "experts",
+            lambda key: init_moe_experts(
+                key,
+                cfg.moe_num_experts,
+                cfg.hidden_size,
+                cfg.intermediate_size,
+                w_bit=cfg.w_bit,
+                group_size=cfg.group_size,
+                stack=False,  # tuple form: relayout/checkpoint see plain MPQTensors
+            ),
+        )
+        y, aux = moe_mlp(
+            x,
+            router,
+            experts,
+            top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+        )
+        # keep-last reduce: flax's compact double-trace would otherwise
+        # append the (identical) value twice per apply
+        self.sow(
+            "losses",
+            "moe_aux",
+            aux,
+            reduce_fn=lambda a, b: b,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+        )
+        return y
+
+
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
@@ -619,7 +691,8 @@ class LlamaBlock(nn.Module):
             attn_window,
         )
         x = x + h
-        x = x + LlamaMLP(cfg, name="mlp")(
+        mlp_cls = QuantMoEMLP if cfg.moe_num_experts else LlamaMLP
+        x = x + mlp_cls(cfg, name="mlp")(
             RMSNorm(cfg.rms_eps, cfg.dtype, name="post_attn_norm")(x)
         )
         return x, new_cache

@@ -44,8 +44,13 @@ def init_moe_experts(
     w_bit: int = 4,
     group_size: int = 64,
     scale: float = 0.02,
+    stack: bool = True,
 ):
-    """Random-init ``E`` quantized SwiGLU experts (stacked pytree)."""
+    """Random-init ``E`` quantized SwiGLU experts.
+
+    ``stack=True`` returns the stacked pytree (explicit EP sharding);
+    ``stack=False`` returns the tuple-of-experts form (model params —
+    relayout/checkpointing treat each expert's MPQTensors normally)."""
     experts = []
     for e in range(num_experts):
         kg, ku, kd, key = jax.random.split(key, 4)
@@ -65,7 +70,7 @@ def init_moe_experts(
                 ),
             }
         )
-    return stack_experts(experts)
+    return stack_experts(experts) if stack else tuple(experts)
 
 
 def stack_experts(experts):
@@ -73,8 +78,19 @@ def stack_experts(experts):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *experts)
 
 
-def _expert_slice(stacked, e: int):
-    return jax.tree_util.tree_map(lambda a: a[e], stacked)
+def _expert_slice(experts, e: int):
+    """Expert ``e`` from either form: a tuple/list of per-expert pytrees
+    (the model-param form — relayout/checkpointing see ordinary
+    MPQTensors) or a stacked pytree (the explicit-EP form)."""
+    if isinstance(experts, (tuple, list)):
+        return experts[e]
+    return jax.tree_util.tree_map(lambda a: a[e], experts)
+
+
+def num_experts(experts) -> int:
+    if isinstance(experts, (tuple, list)):
+        return len(experts)
+    return jax.tree_util.tree_leaves(experts)[0].shape[0]
 
 
 def _expert_mlp(exp, x):

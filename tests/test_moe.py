@@ -88,3 +88,46 @@ def test_moe_router_grads_flow(setup):
 
     g = jax.grad(loss)(router)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_moe_llama_model_decodes():
+    """Mixtral-style MoE model family: forward + KV decode + relayout."""
+    from bitorch_engine_tpu.models.llama import LlamaModel, init_kv_caches, tiny_llama
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
+
+    cfg = tiny_llama(dtype=jnp.float32, moe_num_experts=4, moe_top_k=2,
+                     moe_capacity_factor=8.0, kv_cache_dtype="int8")
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+    caches = init_kv_caches(cfg, 2, 32)
+    logits, caches = model.apply(params, toks, kv_caches=caches,
+                                 cache_len=jnp.zeros((2,), jnp.int32))
+    assert bool(jnp.isfinite(logits).all())
+    tok = logits[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+    for i in range(3):
+        lg, caches = model.apply(params, tok,
+                                 positions=jnp.full((2, 1), 8 + i, jnp.int32),
+                                 kv_caches=caches,
+                                 cache_len=jnp.asarray(8 + i, jnp.int32))
+        assert bool(jnp.isfinite(lg).all())
+        tok = lg[:, -1].argmax(-1)[:, None].astype(jnp.int32)
+
+    # relayout (tuple-form experts are plain MPQTensors) preserves numerics
+    params_r = relayout_params_for_tpu(params)
+    lg_a, _ = model.apply(params, toks)
+    lg_b, _ = model.apply(params_r, toks)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b), atol=2e-3, rtol=2e-3)
+
+
+def test_moe_llama_aux_loss_sown():
+    from bitorch_engine_tpu.models.llama import LlamaModel, tiny_llama
+
+    cfg = tiny_llama(dtype=jnp.float32, moe_num_experts=4)
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+    (logits, _), state = model.apply(params, toks, mutable=["losses"])
+    aux = jax.tree_util.tree_leaves(state["losses"])
+    assert len(aux) == cfg.num_layers
+    assert all(float(a) >= 0.99 for a in aux)  # uniform-router floor
