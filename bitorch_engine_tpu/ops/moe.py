@@ -29,7 +29,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..qtensor import MPQTensor
 from .mpq_linear import mpq_linear
 from .quant import quantize_mpq
 
