@@ -51,16 +51,18 @@ def nv_tensor_quant(
     """
     x = inputs.astype(jnp.float32)
     if amax is None:
-        amax = jnp.max(x)  # NOTE: reference uses amax over all elements
+        amax = jnp.max(x)  # NOTE: reference uses max (not abs-max) over all elements
     amax = jnp.asarray(amax, jnp.float32)
     max_bound = float(2.0 ** (num_bits - 1) - 1.0)
     min_bound = -max_bound if narrow_range else -max_bound - 1.0
     scale = max_bound / amax
-    # amax ~ 0 → quantize everything to 0 with scale 1 (reference :78-85)
+    q = jnp.clip(jnp.round(x * scale), min_bound, max_bound)
+    # amax ~ 0: outputs keep the huge-scale clamped values; only the RETURNED
+    # scale is overridden to 1 (reference :78-85 zeroes then sets scale after
+    # outputs are computed — behavior pinned bit-exactly by
+    # tests/test_reference_parity.py::test_nv_tensor_quant_parity)
     epsilon = 1.0 / (1 << 24)
-    tiny = amax <= epsilon
-    q = jnp.clip(jnp.round(x * jnp.where(tiny, 0.0, scale)), min_bound, max_bound)
-    scale = jnp.where(tiny, 1.0, scale)
+    scale = jnp.where(amax <= epsilon, 1.0, scale)
     return q.astype(inputs.dtype), scale
 
 

@@ -240,6 +240,30 @@ def mbwq_from_exl2(
     )
 
 
+def exl2_group_map(q_groups: np.ndarray, num_qrows: int) -> np.ndarray:
+    """Per-logical-row (group index, inverse row-in-group) pairs for exl2.
+
+    Semantics parity with the reference's ``make_group_map``
+    (``nbit/cuda/utils.py:150-187``): for each ``[bits, start_qrow]`` pair in
+    ``q_groups``, the group spans qrows up to the next start (or
+    ``num_qrows``), covering ``qrows * 32 // bits`` logical rows; each logical
+    row ``j`` contributes the flat pair ``(group_index, rows - j)``.  Used
+    only as the executable cross-check for :func:`mbwq_from_exl2`'s segment
+    accounting (the TPU path re-layouts into uniform segments instead of a
+    per-row map).
+    """
+    qg = np.asarray(q_groups, np.int64).reshape(-1, 2)
+    starts = list(qg[:, 1]) + [num_qrows]
+    out = []
+    for i in range(len(qg)):
+        bits = int(qg[i, 0])
+        rows = (int(starts[i + 1]) - int(starts[i])) * 32 // bits
+        for j in range(rows):
+            out.append(i)
+            out.append(rows - j)
+    return np.asarray(out, np.int16)
+
+
 def detect_perm_block(perm: np.ndarray) -> int:
     """Largest block size b ∈ {128, 64, 32} such that ``perm`` moves whole
     contiguous b-row blocks (``perm[i*b:(i+1)*b] == perm[i*b] + arange(b)``

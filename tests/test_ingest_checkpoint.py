@@ -16,8 +16,15 @@ from bitorch_engine_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
 def test_mpq_from_gptq_bit_exact():
-    """Round-trip: our asym quantizer's tensors → GPTQ dict → ingest →
-    identical dequantized weights."""
+    """GPTQ dict → ingest preserves metadata and dequantizes identically.
+
+    NOTE: cross-implementation (non-circular) format validation lives in
+    ``tests/test_reference_parity.py`` — buffers packed by the REFERENCE's
+    own ``pack_fp_weight``/``gptq_style_zeros_packing`` are ingested there
+    and compared bit-exactly against the reference's ``unpack_qweight``.
+    This test only checks the ingest plumbing (metadata inference, sequential
+    g_idx dropping) on repo-quantized tensors.
+    """
     rng = np.random.default_rng(0)
     k, n, gs, wb = 128, 64, 32, 4
     w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
