@@ -200,6 +200,74 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     return dt, (256 if full is not None else CACHE_LEN), full
 
 
+def moe_decode():
+    """MoE model-family decode arm (regression surface for the Mixtral path).
+
+    8-expert top-2 quantized MoE, h2048/i5632/L16 (~2.4B total params), w4 +
+    int8 KV + w4 head, batch 8, window 256 — the configuration recorded at
+    1324.8 tok/s/chip in BENCH_NOTES round 2 (now with Mixtral renormalized
+    gates and drop-free serving capacity, the correctness-first defaults).
+    Returns seconds/step.
+    """
+    import functools
+
+    from bitorch_engine_tpu.models.llama import (
+        LlamaModel,
+        init_kv_caches,
+        mixtral_8x7b,
+    )
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
+
+    cfg = mixtral_8x7b(
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_layers=16,
+        num_heads=16,
+        num_kv_heads=16,
+        dtype=jnp.bfloat16,
+        w_bit=W_BIT,
+        group_size=GROUP,
+        max_seq_len=CACHE_LEN,
+        kv_cache_dtype="int8",
+        quantize_embed=True,
+        head_w_bit=4,
+        head_pad_to=2048,
+        fuse_qkv=True,
+        fuse_gate_up=True,
+    )
+    model = LlamaModel(cfg)
+    tokens = jnp.zeros((BATCH, 1), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
+    params = relayout_params_for_tpu(params, meta_dtype=jnp.bfloat16)
+    caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_step(params, tok, caches, pos):
+        positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches,
+            cache_len=pos, attn_window=256,
+        )
+        return jnp.argmax(logits[:, -1], -1)[:, None], caches
+
+    tok = jnp.ones((BATCH, 1), jnp.int32)
+    tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32))
+    int(tok[0, 0])
+    pos = 1
+
+    def timed(steps, tok, caches, pos):
+        t0 = time.time()
+        for i in range(pos, pos + steps):
+            tok, caches = decode_step(params, tok, caches, jnp.asarray(i, jnp.int32))
+        int(tok[0, 0])
+        return (time.time() - t0) / steps, tok, caches, pos + steps
+
+    _, tok, caches, pos = timed(10, tok, caches, pos)  # settle
+    d1, tok, caches, pos = timed(50, tok, caches, pos)
+    d2, tok, caches, pos = timed(50, tok, caches, pos)
+    return min(d1, d2)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     total_q, total_b = projection_sweep(on_tpu)
@@ -260,6 +328,20 @@ def main():
     step_bytes = packed_bytes * LAYERS + lm_bytes + kv_bytes
     roofline_toks = BATCH / (step_bytes / HBM_BW)
 
+    # MoE decode arm (driver-tracked regression surface for the MoE family)
+    moe_extra = {}
+    if run_e2e and os.environ.get("BENCH_MOE", "1") != "0":
+        print(f"# [{time.strftime('%H:%M:%S')}] MoE decode arm ...", file=sys.stderr, flush=True)
+        moe_step = moe_decode()
+        moe_extra = {
+            "moe_decode_toks_per_s": round(BATCH / moe_step, 2),
+            "moe_decode_ms_per_step": round(moe_step * 1e3, 2),
+        }
+        print(
+            f"# moe decode: {BATCH/moe_step:.1f} tok/s/chip ({moe_step*1e3:.2f} ms/step)",
+            file=sys.stderr,
+        )
+
     # full-cache secondary metric (long-context operating point)
     full_extra = {}
     if run_e2e and step_full is not None:
@@ -290,6 +372,7 @@ def main():
                     "pct_of_roofline": round(100 * toks / roofline_toks, 1),
                     "ms_per_step": round(1e3 * BATCH / toks, 2),
                     "backend": jax.default_backend(),
+                    **moe_extra,
                     **full_extra,
                 },
             }

@@ -74,7 +74,13 @@ class LlamaConfig:
     # it to the objective.  Greenfield — the reference is dense-only.
     moe_num_experts: int = struct.field(pytree_node=False, default=0)
     moe_top_k: int = struct.field(pytree_node=False, default=2)
-    moe_capacity_factor: float = struct.field(pytree_node=False, default=1.25)
+    # None = drop-free capacity (C = T; the serving/inference setting where
+    # routed outputs equal the dense Mixtral forward); a float = Switch-style
+    # static capacity with overflow drops (the training trade).
+    moe_capacity_factor: Optional[float] = struct.field(pytree_node=False, default=None)
+    # True = Mixtral semantics (top-k gates renormalized to sum to 1);
+    # False = raw full-softmax gate weights (Switch/GShard style).
+    moe_renormalize: bool = struct.field(pytree_node=False, default=True)
     # 'bf16' or 'int8': int8 halves the per-step cache stream and doubles
     # capacity; per-position scales factor out of both attention
     # contractions so the int8 payload feeds the MXU directly (greenfield —
@@ -515,6 +521,18 @@ class LlamaAttention(nn.Module):
             out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
             return out, new_cache
 
+        # caller-contract guard (attn_window >= max(cache_len)): cached
+        # positions at/beyond the window would otherwise be silently dropped
+        # and corrupt generation — poison the scores with NaN so a violation
+        # surfaces in any finiteness check instead (scalar compare + select,
+        # fused into the masking; no measurable cost on the decode path)
+        if cache_len is None:
+            _viol = jnp.float32(0.0)
+        else:
+            _viol = jnp.where(
+                jnp.any(jnp.asarray(cache_len) > prefix_len), jnp.nan, 0.0
+            ).astype(jnp.float32)
+
         if prefix_len == 0:
             # prefill-from-empty (attn_window == 0): pure causal attention
             # over this step's tokens.  Uses the (de)quantized k/v so the
@@ -565,6 +583,7 @@ class LlamaAttention(nn.Module):
                 ctx = jnp.einsum(
                     "bgrqk,bkgd->bqgrd", probs, v_new.astype(probs.dtype)
                 )
+            ctx = (ctx.astype(jnp.float32) + _viol).astype(cfg.dtype)
             ctx = ctx.reshape(b, s, nh * hd)
             out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
             return out, new_cache
@@ -584,7 +603,7 @@ class LlamaAttention(nn.Module):
             sc_p = sc_p * ks_pre.transpose(0, 2, 1)[:, :, None, None, :]
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, prefix_len), 4)
         cl = cache_len if jnp.ndim(cache_len) == 0 else cache_len[:, None, None, None, None]
-        sc_p = jnp.where(kv_pos < cl, sc_p, neg)
+        sc_p = jnp.where(kv_pos < cl, sc_p, neg) + _viol
 
         sc_n = jnp.einsum(
             "bqgrd,bkgd->bgrqk",
@@ -658,12 +677,13 @@ class QuantMoEMLP(nn.Module):
                 stack=False,  # tuple form: relayout/checkpoint see plain MPQTensors
             ),
         )
-        y, aux = moe_mlp(
+        y, aux, dropped = moe_mlp(
             x,
             router,
             experts,
             top_k=cfg.moe_top_k,
             capacity_factor=cfg.moe_capacity_factor,
+            renormalize=cfg.moe_renormalize,
         )
         # keep-last reduce: flax's compact double-trace would otherwise
         # append the (identical) value twice per apply
@@ -671,6 +691,14 @@ class QuantMoEMLP(nn.Module):
             "losses",
             "moe_aux",
             aux,
+            reduce_fn=lambda a, b: b,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+        )
+        # observability for capacity-dropped routes (0 when drop-free)
+        self.sow(
+            "losses",
+            "moe_dropped",
+            dropped,
             reduce_fn=lambda a, b: b,
             init_fn=lambda: jnp.zeros((), jnp.float32),
         )

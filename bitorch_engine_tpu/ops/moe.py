@@ -8,11 +8,16 @@ TPU-native design:
   gate/up/down projections are :class:`MPQTensor`s, stacked on a leading
   ``E`` axis (:func:`stack_experts`) and sharded ``P('ep', ...)`` so each
   expert-parallel device holds ``E/ep`` experts' packed weights;
-* **top-k routing with static capacity** (Switch/GShard style): every
-  expert processes exactly ``C = ceil(T·k/E · capacity_factor)`` token
-  slots — static shapes, no data-dependent control flow.  Tokens routed
-  past an expert's capacity are dropped (their gate weight contributes
-  nothing), the standard trade;
+* **top-k routing with static capacity**: every expert processes exactly
+  ``C`` token slots — static shapes, no data-dependent control flow.
+  ``capacity_factor=None`` (the serving default) sets ``C = T`` which is
+  provably drop-free (a token routes to an expert at most once), making the
+  routed forward equal to the dense Mixtral forward; a float gives
+  Switch/GShard-style ``C = ceil(T·k/E · capacity_factor)`` where overflow
+  routes are dropped (their gate weight contributes nothing) — the standard
+  training trade, surfaced via the returned ``dropped_frac``;
+* **Mixtral gate semantics** (``renormalize=True``): the selected top-k
+  gates renormalize to sum to 1 per token;
 * dispatch/combine are scatter/gather on a dense ``(E, C, d)`` buffer;
   under a sharded ``ep`` axis XLA lowers them to all-to-alls over ICI.
 
@@ -24,7 +29,7 @@ decode unchanged.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,14 +109,29 @@ def moe_mlp(
     router_w: Array,
     experts,
     top_k: int = 2,
-    capacity_factor: float = 1.25,
-) -> Tuple[Array, Array]:
+    capacity_factor: Optional[float] = 1.25,
+    renormalize: bool = True,
+) -> Tuple[Array, Array, Array]:
     """Top-k routed MoE MLP.  ``x``: (..., d); ``router_w``: (d, E);
     ``experts``: stacked pytree from :func:`stack_experts`.
 
-    Returns ``(y, aux_loss)`` — ``aux_loss`` is the standard load-balancing
-    term (mean fraction-routed × mean router prob, scaled by E²·k⁻¹ so a
-    uniform router scores 1.0)."""
+    ``renormalize=True`` is Mixtral semantics: the k selected gates are
+    renormalized to sum to 1 per token (equivalently, softmax over the
+    selected top-k logits — softmax is monotone so the selection is the
+    same).  ``renormalize=False`` weights by raw full-softmax probabilities
+    (Switch/GShard style).
+
+    ``capacity_factor=None`` is **drop-free**: ``C = T`` (each token routes
+    to an expert at most once, so T slots can never overflow) — the correct
+    serving/inference configuration where routed outputs must equal the
+    dense Mixtral forward.  A float sets Switch-style static capacity
+    ``C = ceil(T·k/E · capacity_factor)`` where overflowing routes are
+    dropped (their gate contribution zeroed) — the standard training trade.
+
+    Returns ``(y, aux_loss, dropped_frac)`` — ``aux_loss`` is the standard
+    load-balancing term (mean fraction-routed × mean router prob, scaled by
+    E²·k⁻¹ so a uniform router scores 1.0); ``dropped_frac`` is the fraction
+    of (token, choice) routes dropped to capacity (0 when drop-free)."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     x2 = x.reshape(-1, d)
@@ -121,8 +141,13 @@ def moe_mlp(
     logits = jnp.dot(x2.astype(jnp.float32), router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)  # (T, E)
     gate_vals, gate_idx = jax.lax.top_k(probs, top_k)  # (T, k)
+    if renormalize:
+        gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
 
-    C = max(1, math.ceil(T * top_k / E * capacity_factor))
+    if capacity_factor is None:
+        C = T
+    else:
+        C = max(1, min(T, math.ceil(T * top_k / E * capacity_factor)))
     flat_e = gate_idx.reshape(-1)  # (T·k,) expert ids, row-major by token
     onehot = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)  # (T·k, E)
     # position of each (token, choice) within its expert's capacity buffer
@@ -156,7 +181,8 @@ def moe_mlp(
     )  # (E,) expected ~k/E
     mean_p = jnp.mean(probs, axis=0)
     aux = jnp.sum(frac * mean_p) * E / top_k
-    return y.astype(x.dtype).reshape(*lead, d), aux
+    dropped = 1.0 - jnp.mean(keep.astype(jnp.float32))
+    return y.astype(x.dtype).reshape(*lead, d), aux, dropped
 
 
 def expert_shardings(mesh, experts, axis: str = "ep"):

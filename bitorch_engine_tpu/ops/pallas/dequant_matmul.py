@@ -76,9 +76,16 @@ def relayout_tpu(qt: MPQTensor, meta_dtype=None) -> MPQTensor:
     ``meta_dtype``: storage dtype for the group scales/zeros.  The decode
     step streams this metadata every token alongside the codes (12.5% of the
     weight bytes at w4g128 when fp32); ``jnp.bfloat16`` halves that stream.
-    The reference's exl2/GPTQ formats store fp16 scales
-    (``matrix_view.cuh``/GPTQ safetensors), so 16-bit metadata is the parity
-    storage width — the kernel upcasts blocks to f32 before use either way.
+    NOTE: the reference's exl2/GPTQ formats store fp16 scales
+    (``matrix_view.cuh``/GPTQ safetensors) — same 16-bit width, but bf16
+    carries 8 mantissa bits vs fp16's 11, so bf16-stored scales (and the
+    asym→sym ``s·z`` product rounded into them) are coarser than the source
+    format.  This is a measured quality trade, not format parity: the
+    perplexity gate bounds the delta (``ppl_w4g64_bf16meta`` in
+    tests/test_ppl_gate.py); keep ``meta_dtype=None`` (fp32 storage, a
+    superset of fp16) where bit-faithful metadata matters more than the
+    ~6% byte saving.  The kernel upcasts blocks to f32 before use either
+    way.
     """
     target = _kernel_layout(qt.w_bit)
     if qt.layout == target:

@@ -108,14 +108,26 @@ def ring_row_parallel_mpq(
 
     d = mesh.shape[axis]
     k, n = qt.logical_shape
+    # grad_shadow must not ride into the shard_map closure (a training-sized
+    # fp buffer would lower as a jit constant); metadata row maps can't be
+    # split across K-shards at all
+    qt = qt.replace(grad_shadow=None)
+    if qt.g_idx is not None or qt.q_perm is not None:
+        raise ValueError(
+            "ring_row_parallel_mpq: act-order tensors (g_idx/q_perm) cannot "
+            "shard along K"
+        )
 
     def body(x_l, packed, scales, zeros):
         qt_l = qt.replace(packed=packed, scales=scales, zeros=zeros)
         out_chunk = ring_reduce_scatter_mpq(x_l, qt_l, axis)
         return lax.all_gather(out_chunk, axis, axis=-1, tiled=True)
 
+    # shard only the contraction (last) axis of x — serving activations are
+    # (batch, seq, K), tests use (rows, K); leading axes stay replicated
+    lead = (None,) * (x.ndim - 1)
     in_specs = (
-        P(None, axis),
+        P(*lead, axis),
         P(axis, None),
         P(axis, None),
         P(axis, None),
@@ -124,7 +136,7 @@ def ring_row_parallel_mpq(
         body,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(None, None),
+        out_specs=P(*lead, None),
         check_rep=False,
     )
     if k % (d * qt.group_size):

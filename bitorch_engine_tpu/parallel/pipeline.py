@@ -76,8 +76,8 @@ def pipeline_apply(
         # carries are device-varying over the pipeline axis (the wire is
         # permuted, outs differ per stage) — mark them so the scan carry
         # types line up (cf. ring_attention.py)
-        wire0 = lax.pvary(jnp.zeros_like(xs_loc[0]), (axis,))
-        outs0 = lax.pvary(jnp.zeros_like(xs_loc), (axis,))
+        wire0 = lax.pcast(jnp.zeros_like(xs_loc[0]), (axis,), to='varying')
+        outs0 = lax.pcast(jnp.zeros_like(xs_loc), (axis,), to='varying')
 
         def tick(carry, t):
             wire, outs = carry

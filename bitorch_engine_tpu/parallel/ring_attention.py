@@ -22,7 +22,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 # NB: jax.shard_map (the promoted API) enforces varying-axis typing on loop
-# carries that would need pvary plumbing on the streaming-softmax
+# carries that would need pcast-to-varying plumbing on the streaming-softmax
 # accumulators; the experimental entry point has the permissive behavior.
 from jax.experimental.shard_map import shard_map
 
@@ -106,7 +106,7 @@ def ring_attention(
         )
         # mark the accumulator init as device-varying over the ring axis so
         # the fori_loop carry types match (combined results are varying)
-        zero = jax.tree_util.tree_map(lambda a: lax.pvary(a, (axis,)), zero)
+        zero = jax.tree_util.tree_map(lambda a: lax.pcast(a, (axis,), to='varying'), zero)
         (out, m, l), _, _ = lax.fori_loop(
             0, n, body, (zero, (k_loc, v_loc), idx.astype(jnp.int32))
         )

@@ -32,19 +32,32 @@ class CSVLogger:
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self._fields = ["step", "time"]
-        self._rows = []
+        self._started = False
 
     def log(self, metrics: Dict[str, float], step: int):
+        """Appends one row; the file is only rewritten when a new metric key
+        widens the header (O(header-growth events), not O(steps²) — rows are
+        not kept in memory)."""
         row = {"step": step, "time": round(time.time(), 3)}
         row.update({k: float(v) for k, v in metrics.items()})
-        for k in row:
-            if k not in self._fields:
-                self._fields.append(k)
-        self._rows.append(row)
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields)
-            w.writeheader()
-            w.writerows(self._rows)
+        new_fields = [k for k in row if k not in self._fields]
+        if new_fields and self._started:
+            self._fields.extend(new_fields)
+            with open(self.path, newline="") as f:
+                old_rows = list(csv.DictReader(f))
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields, restval="")
+                w.writeheader()
+                w.writerows(old_rows)
+        elif new_fields:
+            self._fields.extend(new_fields)
+        mode = "a" if self._started else "w"
+        with open(self.path, mode, newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, restval="")
+            if not self._started:
+                w.writeheader()
+            w.writerow(row)
+        self._started = True
 
     def finalize(self):
         pass

@@ -496,6 +496,31 @@ def test_attn_window_zero_prefill(kv_dtype):
     np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
 
 
+@pytest.mark.parametrize("window", [4, 0])
+def test_attn_window_contract_violation_poisons(window):
+    """Out-of-contract windows (attn_window < cache_len) NaN-poison the
+    logits instead of silently dropping cached positions (the ContinuousBatcher
+    always computes covering windows; this guards direct model.apply callers)."""
+    cfg = tiny_llama(dtype=jnp.float32, kv_cache_dtype="bf16", max_seq_len=64)
+    model = LlamaModel(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, cfg.vocab_size)
+    params = model.init(jax.random.PRNGKey(1), toks)
+    caches = init_kv_caches(cfg, 2, 64)
+    _, caches = model.apply(params, toks, kv_caches=caches,
+                            cache_len=jnp.zeros((2,), jnp.int32), attn_window=16)
+    tok = jnp.ones((2, 1), jnp.int32)
+    # decode at cache_len=8 with a window that drops positions [window, 8)
+    lg, _ = model.apply(params, tok, positions=jnp.full((2, 1), 8, jnp.int32),
+                        kv_caches=caches, cache_len=jnp.asarray(8, jnp.int32),
+                        attn_window=window)
+    assert not bool(jnp.isfinite(lg).all()), "contract violation must poison"
+    # the covering window stays finite
+    lg_ok, _ = model.apply(params, tok, positions=jnp.full((2, 1), 8, jnp.int32),
+                           kv_caches=caches, cache_len=jnp.asarray(8, jnp.int32),
+                           attn_window=8)
+    assert bool(jnp.isfinite(lg_ok).all())
+
+
 def test_remat_training_matches_no_remat():
     """cfg.remat recomputes block activations on backward; loss and grads
     must match the non-remat graph exactly (same primals, same math)."""
