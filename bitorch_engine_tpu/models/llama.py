@@ -219,6 +219,15 @@ class RMSNorm(nn.Module):
         return (x32 * jax.lax.rsqrt(var + self.eps) * w).astype(self.dtype)
 
 
+def _paged_kernel_mode() -> str:
+    """'auto' (default: in-place paged-attention kernel on TPU), '0' (off:
+    always the XLA gather path), 'interpret' (force the kernel in Pallas
+    interpret mode — CPU equivalence tests)."""
+    import os
+
+    return os.environ.get("BITORCH_PAGED_KERNEL", "auto")
+
+
 def _rope(pos: Array, head_dim: int, theta: float) -> Tuple[Array, Array]:
     """cos/sin tables for positions ``pos`` (any shape) → (..., head_dim/2)."""
     inv_freq = 1.0 / (
@@ -363,14 +372,21 @@ class LlamaAttention(nn.Module):
             prefix_len = tbl.shape[1] * ps
 
             def gather(pool):
-                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, ...)
+                # head-major KV pool (pages, nkv, ps, hd) → (b, P·ps, nkv, hd)
+                g = jnp.take(pool, tbl, axis=0)  # (b, P, nkv, ps, hd)
+                g = g.transpose(0, 1, 3, 2, 4)
+                return g.reshape((b, prefix_len) + pool.shape[1:2] + pool.shape[3:])
+
+            def gather_scale(pool):
+                # token-major scale pool (pages, ps, nkv) → (b, P·ps, nkv)
+                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv)
                 return g.reshape((b, prefix_len) + pool.shape[2:])
 
             if kv_quant:
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
-                kp = kv_cache.k_pool.at[page, off].set(k_new)
-                vp = kv_cache.v_pool.at[page, off].set(v_new)
+                kp = kv_cache.k_pool.at[page, :, off].set(k_new)
+                vp = kv_cache.v_pool.at[page, :, off].set(v_new)
                 ksp = kv_cache.k_scale.at[page, off].set(ks_new)
                 vsp = kv_cache.v_scale.at[page, off].set(vs_new)
                 new_cache = kv_cache.replace(
@@ -378,14 +394,15 @@ class LlamaAttention(nn.Module):
                 )
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)
-                    ks_all, vs_all = gather(ksp), gather(vsp)
+                    ks_all, vs_all = gather_scale(ksp), gather_scale(vsp)
                 elif prefix_len:
-                    ks_pre, vs_pre = gather(kv_cache.k_scale), gather(kv_cache.v_scale)
+                    ks_pre = gather_scale(kv_cache.k_scale)
+                    vs_pre = gather_scale(kv_cache.v_scale)
             else:
                 k_new = k.astype(kv_cache.k_pool.dtype)
                 v_new = v.astype(kv_cache.v_pool.dtype)
-                kp = kv_cache.k_pool.at[page, off].set(k_new)
-                vp = kv_cache.v_pool.at[page, off].set(v_new)
+                kp = kv_cache.k_pool.at[page, :, off].set(k_new)
+                vp = kv_cache.v_pool.at[page, :, off].set(v_new)
                 new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)
@@ -461,21 +478,20 @@ class LlamaAttention(nn.Module):
             and s > 1
             and jax.default_backend() == "tpu"
             and s % 128 == 0
-            and hd >= 128
         )
         if use_flash:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention,
-            )
+            # In-house kernel (ops/pallas/flash_attention.py): GQA-native
+            # (KV consumed at nkv width — no jnp.repeat materialization) and
+            # differentiable via custom_vjp backward kernels, so TRAINING
+            # graphs take this path too: no s² score tensor exists in either
+            # pass, and long-seq fine-tuning no longer needs remat to fit.
+            # bf16 operands: softmax statistics stay f32 inside the kernel.
+            from ..ops.pallas.flash_attention import flash_attention
 
-            k_rep = jnp.repeat(k_all, rep, axis=2)
-            v_rep = jnp.repeat(v_all, rep, axis=2)
-            # bf16 operands: the kernel keeps its softmax statistics in f32;
-            # f32 operands would halve the MXU rate for no accuracy gain
             ctx = flash_attention(
                 q.transpose(0, 2, 1, 3).astype(cfg.dtype),
-                k_rep.transpose(0, 2, 1, 3).astype(cfg.dtype),
-                v_rep.transpose(0, 2, 1, 3).astype(cfg.dtype),
+                k_all.transpose(0, 2, 1, 3).astype(cfg.dtype),
+                v_all.transpose(0, 2, 1, 3).astype(cfg.dtype),
                 causal=True,
                 sm_scale=1.0 / math.sqrt(hd),
             ).transpose(0, 2, 1, 3).astype(cfg.dtype)
@@ -547,16 +563,13 @@ class LlamaAttention(nn.Module):
                 and s > 1
                 and jax.default_backend() == "tpu"
                 and s % 128 == 0
-                and hd >= 128
             ):
-                from jax.experimental.pallas.ops.tpu.flash_attention import (
-                    flash_attention,
-                )
+                from ..ops.pallas.flash_attention import flash_attention
 
                 ctx = flash_attention(
                     q.transpose(0, 2, 1, 3).astype(cfg.dtype),
-                    jnp.repeat(kd, rep, axis=2).transpose(0, 2, 1, 3),
-                    jnp.repeat(vd, rep, axis=2).transpose(0, 2, 1, 3),
+                    kd.transpose(0, 2, 1, 3),
+                    vd.transpose(0, 2, 1, 3),
                     causal=True,
                     sm_scale=1.0 / math.sqrt(hd),
                 ).transpose(0, 2, 1, 3).astype(cfg.dtype)
@@ -584,6 +597,73 @@ class LlamaAttention(nn.Module):
                     "bgrqk,bkgd->bqgrd", probs, v_new.astype(probs.dtype)
                 )
             ctx = (ctx.astype(jnp.float32) + _viol).astype(cfg.dtype)
+            ctx = ctx.reshape(b, s, nh * hd)
+            out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
+            return out, new_cache
+
+        # In-place paged-attention kernel path: score the window's pages
+        # straight from the (pre-update) pools via the page table — the
+        # gather that materializes a dense window view (and its extra
+        # write+read of the whole window) never happens.  The kernel
+        # returns streaming-softmax state over the prefix; this step's own
+        # tokens are a tiny causal XLA block merged in with a two-way
+        # softmax combine (ops/pallas/paged_attention.py).
+        if (
+            isinstance(kv_cache, PagedKV)
+            and hd % 128 == 0
+            and _paged_kernel_mode() != "0"
+            and (
+                jax.default_backend() == "tpu"
+                or _paged_kernel_mode() == "interpret"
+            )
+        ):
+            from ..ops.pallas.paged_attention import (
+                merge_attention_parts,
+                paged_prefix_attention,
+            )
+
+            rs = rep * s
+            qk2 = (
+                q.reshape(b, s, nkv, rep, hd)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(b, nkv, rs, hd)
+            )
+            acc_p, m_p, l_p = paged_prefix_attention(
+                qk2,
+                kv_cache.k_pool,
+                kv_cache.v_pool,
+                kv_cache.k_scale,
+                kv_cache.v_scale,
+                tbl,
+                cache_len,
+                sm_scale=1.0 / math.sqrt(hd),
+                interpret=_paged_kernel_mode() == "interpret",
+            )
+            if kv_quant:
+                kd2 = (k_new.astype(jnp.float32) * ks_new[..., None]).astype(
+                    qk2.dtype
+                )
+                vd2 = (v_new.astype(jnp.float32) * vs_new[..., None]).astype(
+                    qk2.dtype
+                )
+            else:
+                kd2 = k_new.astype(qk2.dtype)
+                vd2 = v_new.astype(qk2.dtype)
+            sc_n2 = jnp.einsum(
+                "bgrd,bkgd->bgrk", qk2, kd2, preferred_element_type=jnp.float32
+            ) / math.sqrt(hd)
+            iq2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rs, s), 2) % s
+            ik2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, rs, s), 3)
+            sc_n2 = jnp.where(ik2 <= iq2, sc_n2, neg)
+            m_n = jnp.max(sc_n2, axis=-1, keepdims=True)
+            p_n = jnp.exp(sc_n2 - m_n)
+            l_n = jnp.sum(p_n, axis=-1, keepdims=True)
+            acc_n = jnp.einsum(
+                "bgrk,bkgd->bgrd", p_n, vd2.astype(jnp.float32)
+            )
+            ctx = merge_attention_parts(acc_p, m_p, l_p, acc_n, m_n, l_n)
+            ctx = (ctx + _viol).astype(cfg.dtype)
+            ctx = ctx.reshape(b, nkv, rep, s, hd).transpose(0, 3, 1, 2, 4)
             ctx = ctx.reshape(b, s, nh * hd)
             out = _proj(cfg, cfg.hidden_size, "o_proj")(ctx)
             return out, new_cache

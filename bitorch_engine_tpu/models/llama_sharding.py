@@ -64,7 +64,8 @@ def paged_kv_shardings(mesh: Mesh, caches):
     keeps each dp shard's gathers inside its own page range).  The page
     table shards its slot axis over 'dp'.
     """
-    pool = NamedSharding(mesh, P(None, None, "tp", None))
+    # head-major pools (pages, kv_heads, page_size, head_dim)
+    pool = NamedSharding(mesh, P(None, "tp", None, None))
     scale = NamedSharding(mesh, P(None, None, "tp"))
     table = NamedSharding(mesh, P("dp", None))
     out = []

@@ -7,9 +7,13 @@ cache's ``slots × max_len`` allocation, which OOMs a v5e at batch 64
 
 Design (TPU-first, static shapes throughout):
 
-* one **page pool** per layer — ``(num_pages, page_size, kv_heads,
-  head_dim)`` for K and V (int8 pools + fp32 per-position scale pools in
-  the int8 serving config) — shared by every slot;
+* one **page pool** per layer — **head-major** ``(num_pages, kv_heads,
+  page_size, head_dim)`` for K and V (int8 pools + fp32 per-position
+  token-major ``(num_pages, page_size, kv_heads)`` scale pools in the
+  int8 serving config) — shared by every slot.  Head-major makes each
+  page's per-head trailing dims ``(page_size, head_dim)`` a native tile,
+  which the in-place Pallas paged-attention kernel
+  (``ops/pallas/paged_attention.py``) reads without padding;
 * a **page table** ``(slots, pages_per_slot) int32`` mapping each slot's
   logical cache blocks to pool pages.  The table is tiny and host-managed
   (:class:`PageAllocator`); it rides into the jitted step as a normal
@@ -64,7 +68,7 @@ class PagedKV:
 
     @property
     def page_size(self) -> int:
-        return self.k_pool.shape[1]
+        return self.k_pool.shape[2]
 
     @property
     def view_len(self) -> int:
@@ -83,7 +87,7 @@ def init_paged_kv_caches(
     ``num_pages`` includes the reserved null page 0; usable capacity is
     ``(num_pages - 1) * page_size`` tokens.
     """
-    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    shape = (num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
     caches = []
     for _ in range(cfg.num_layers):
         # distinct buffer per layer — the donated-step requirement above
