@@ -22,6 +22,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 from flax import struct
 
@@ -372,23 +373,48 @@ class LlamaAttention(nn.Module):
             prefix_len = tbl.shape[1] * ps
 
             def gather(pool):
-                # head-major KV pool (pages, nkv, ps, hd) → (b, P·ps, nkv, hd)
-                g = jnp.take(pool, tbl, axis=0)  # (b, P, nkv, ps, hd)
-                g = g.transpose(0, 1, 3, 2, 4)
-                return g.reshape((b, prefix_len) + pool.shape[1:2] + pool.shape[3:])
+                # rank-3 KV pool (pages, ps, nkv·hd) → (b, P·ps, nkv, hd)
+                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv·hd)
+                return g.reshape(b, prefix_len, nkv, hd)
 
             def gather_scale(pool):
-                # token-major scale pool (pages, ps, nkv) → (b, P·ps, nkv)
+                # scale pool (pages, ps, nkv) → (b, P·ps, nkv)
                 g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv)
                 return g.reshape((b, prefix_len) + pool.shape[2:])
+
+            def pool_write(pool, update):
+                """Write ``update`` (b, s, F) at (page, off) — F is the
+                flattened nkv·hd token payload (or nkv for scale pools).
+
+                Decode (s == 1): one contiguous ``(1, 1, F)`` dus per
+                slot.  This form is the measured fixed point (device
+                traces, BENCH_NOTES r3): a token write STRIDED over heads
+                (head-major pools) flips XLA layout assignment into
+                whole-pool layout-change copies every step (3.4 ms/step
+                on 8B); a fori_loop of the same writes adds 2.8 ms of
+                while-loop overhead; an advanced-index scatter lowers to
+                XLA's scatter-while machinery (4.8 ms/step).  Unrolled
+                contiguous dus ops have none of those pathologies, and
+                duplicate page-0 writes from inactive lock-step slots
+                resolve sequentially into the inert null page.  Prefill
+                (s > 1, once per request) keeps the scatter — its page/off
+                indices are adjacent, the layout-benign scatter form."""
+                upd = update.astype(pool.dtype)
+                if s != 1:
+                    return pool.at[page, off].set(upd)
+                for i in range(b):
+                    pool = lax.dynamic_update_slice(
+                        pool, upd[i][None], (page[i, 0], off[i, 0], 0)
+                    )
+                return pool
 
             if kv_quant:
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
-                kp = kv_cache.k_pool.at[page, :, off].set(k_new)
-                vp = kv_cache.v_pool.at[page, :, off].set(v_new)
-                ksp = kv_cache.k_scale.at[page, off].set(ks_new)
-                vsp = kv_cache.v_scale.at[page, off].set(vs_new)
+                kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
+                vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
+                ksp = pool_write(kv_cache.k_scale, ks_new)
+                vsp = pool_write(kv_cache.v_scale, vs_new)
                 new_cache = kv_cache.replace(
                     k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
                 )
@@ -401,8 +427,8 @@ class LlamaAttention(nn.Module):
             else:
                 k_new = k.astype(kv_cache.k_pool.dtype)
                 v_new = v.astype(kv_cache.v_pool.dtype)
-                kp = kv_cache.k_pool.at[page, :, off].set(k_new)
-                vp = kv_cache.v_pool.at[page, :, off].set(v_new)
+                kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
+                vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
                 new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)

@@ -64,8 +64,9 @@ def paged_kv_shardings(mesh: Mesh, caches):
     keeps each dp shard's gathers inside its own page range).  The page
     table shards its slot axis over 'dp'.
     """
-    # head-major pools (pages, kv_heads, page_size, head_dim)
-    pool = NamedSharding(mesh, P(None, "tp", None, None))
+    # rank-3 pools (pages, page_size, kv_heads·head_dim): tp splits the
+    # flattened head axis (head-aligned because nkv % tp == 0)
+    pool = NamedSharding(mesh, P(None, None, "tp"))
     scale = NamedSharding(mesh, P(None, None, "tp"))
     table = NamedSharding(mesh, P("dp", None))
     out = []

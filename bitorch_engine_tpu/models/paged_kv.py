@@ -7,13 +7,20 @@ cache's ``slots × max_len`` allocation, which OOMs a v5e at batch 64
 
 Design (TPU-first, static shapes throughout):
 
-* one **page pool** per layer — **head-major** ``(num_pages, kv_heads,
-  page_size, head_dim)`` for K and V (int8 pools + fp32 per-position
-  token-major ``(num_pages, page_size, kv_heads)`` scale pools in the
-  int8 serving config) — shared by every slot.  Head-major makes each
-  page's per-head trailing dims ``(page_size, head_dim)`` a native tile,
-  which the in-place Pallas paged-attention kernel
-  (``ops/pallas/paged_attention.py``) reads without padding;
+* one **page pool** per layer — token-major rank-3 ``(num_pages,
+  page_size, kv_heads·head_dim)`` for K and V (int8 pools + fp32
+  per-position ``(num_pages, page_size, kv_heads)`` scale pools in the
+  int8 serving config) — shared by every slot.  This layout is the fixed
+  point of three hardware constraints (each violated alternative was
+  measured, BENCH_NOTES r3): one decode token is a single contiguous
+  ``(1, 1, kv_heads·hd)`` dus (a head-major pool makes the token write
+  strided over heads, which flips XLA's layout assignment into whole-pool
+  layout-change copies every step — 3.4 ms/step on 8B); the minor dim
+  kv_heads·hd ≥ 1024 keeps int8 tiles (32, 128) unpadded (a rank-4
+  token-major pool pads the trailing ``(kv_heads, hd)`` tile 4×); and the
+  in-place Pallas kernel (``ops/pallas/paged_attention.py``) DMAs each
+  page as one dense ``(page_size, kv_heads·hd)`` rectangle and slices
+  heads on the 128-aligned minor axis;
 * a **page table** ``(slots, pages_per_slot) int32`` mapping each slot's
   logical cache blocks to pool pages.  The table is tiny and host-managed
   (:class:`PageAllocator`); it rides into the jitted step as a normal
@@ -52,8 +59,11 @@ Array = jax.Array
 class PagedKV:
     """One layer's paged KV cache.
 
-    ``k_scale``/``v_scale`` are ``None`` in bf16 mode; in int8 mode they
-    hold fp32 per-position scales ``(num_pages, page_size, kv_heads)``.
+    ``k_pool``/``v_pool`` are ``(num_pages, page_size, kv_heads·head_dim)``
+    (``kv_heads`` rides as static pytree metadata so attention can split
+    the flattened head axis).  ``k_scale``/``v_scale`` are ``None`` in
+    bf16 mode; in int8 mode they hold fp32 per-position scales
+    ``(num_pages, page_size, kv_heads)``.
     ``page_table`` ``(b, pages_per_slot) int32`` holds the same *values*
     for every layer but must be a **distinct device buffer per layer**:
     the serving step donates the cache pytree, and XLA rejects donating
@@ -65,10 +75,11 @@ class PagedKV:
     k_scale: Optional[Array]
     v_scale: Optional[Array]
     page_table: Array
+    kv_heads: int = struct.field(pytree_node=False, default=0)
 
     @property
     def page_size(self) -> int:
-        return self.k_pool.shape[2]
+        return self.k_pool.shape[1]
 
     @property
     def view_len(self) -> int:
@@ -87,7 +98,7 @@ def init_paged_kv_caches(
     ``num_pages`` includes the reserved null page 0; usable capacity is
     ``(num_pages - 1) * page_size`` tokens.
     """
-    shape = (num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
+    shape = (num_pages, page_size, cfg.num_kv_heads * cfg.head_dim)
     caches = []
     for _ in range(cfg.num_layers):
         # distinct buffer per layer — the donated-step requirement above
@@ -101,6 +112,7 @@ def init_paged_kv_caches(
                     k_scale=jnp.zeros(sshape, jnp.float32),
                     v_scale=jnp.zeros(sshape, jnp.float32),
                     page_table=table,
+                    kv_heads=cfg.num_kv_heads,
                 )
             )
         else:
@@ -111,6 +123,7 @@ def init_paged_kv_caches(
                     k_scale=None,
                     v_scale=None,
                     page_table=table,
+                    kv_heads=cfg.num_kv_heads,
                 )
             )
     return caches

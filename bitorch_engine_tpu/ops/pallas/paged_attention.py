@@ -1,21 +1,38 @@
-"""In-kernel paged decode attention: score KV pages in place via the table.
+"""In-kernel paged decode attention: whole-window scoring from KV pages.
 
 Greenfield vs the reference (no KV cache at all, SURVEY.md §0); this is the
 TPU replacement for the XLA paged path's gather, which materializes a dense
 ``(b, window, nkv, hd)`` view of the mapped pages every step (one extra
-write + read of the whole window — the measured 1.10–1.18× paged-vs-dense
-decode overhead, BENCH_NOTES round 2).  Here the page table is a
-scalar-prefetch operand and the *block index map* dereferences it, so each
-grid step DMAs one page of one slot straight from the pool: the bytes read
-are exactly the dense windowed read, no intermediate view exists.
+write + read of the whole window).  Design (v2 — the v1 grid-per-page
+kernel measured 1.79× dense on hardware: 32 tiny grid steps/layer with
+8 small per-head dots each drowned in grid/issue overhead):
 
-Layout contract (see ``models/paged_kv.py``): pools are **head-major**
-``(num_pages, kv_heads, page_size, head_dim)`` so a page block's trailing
-dims ``(page_size, head_dim)`` are one native int8/bf16 tile — the
-token-major layout would pad ``(kv_heads, head_dim)`` tiles 4× on int8
-reads.  Scale pools stay token-major ``(num_pages, page_size, kv_heads)``:
-sliced per head they give ``(ps, 1)`` columns that broadcast along the
-lane (head_dim) axis for the in-kernel dequant, the free direction.
+* **grid = (slots,)** — one grid step per batch slot per layer;
+* the slot's window pages are **manually DMA'd** from the HBM pools
+  (``pl.ANY`` operands) into a contiguous VMEM window buffer, with the
+  *next* slot's copies issued before the current slot's compute
+  (double-buffered across grid steps, the standard Pallas pipeline);
+* compute is **whole-window**: per KV head one ``(rs, hd) @ (hd, W)``
+  score dot and one ``(rs, W) @ (W, hd)`` context dot — the same shapes
+  XLA's dense windowed path feeds the MXU;
+* int8 KV **scales factor out of both contractions** (they are
+  per-position): scores multiply by ``k_scale`` after the dot and probs
+  multiply by ``v_scale`` before the context dot — identical math to the
+  XLA paths (``models/llama.py`` two-part attention), and the codes feed
+  the MXU raw, so no ``(W, hd)`` dequant intermediate exists;
+* the scale windows themselves are gathered by **XLA outside the kernel**
+  and ride in as ordinary ``(b, nkv, W)`` blocked operands: they are
+  ~1.5% of the window's KV bytes, and a page's 64-f32 scale row is below
+  the 128-lane tile Mosaic requires of a strided DMA destination (the
+  in-kernel scale DMA failed exactly that alignment check on v5e).
+
+Layout contract (see ``models/paged_kv.py``): KV pools are rank-3
+token-major ``(num_pages, page_size, kv_heads·head_dim)`` — one page is a
+single dense (ps, nkv·hd) DMA rectangle with no tile padding, heads slice
+on the 128-aligned minor axis, and the model's decode write is one
+contiguous dus per slot.  Scale pools are ``(num_pages, page_size,
+kv_heads)``; the XLA scale gather transposes them into the ``(1, W)``
+lane orientation the score/prob multiplies broadcast over.
 
 The kernel returns *unnormalized* streaming-softmax state over the cached
 prefix — ``acc = Σ p·v`` plus running ``(m, l)`` per query row — and the
@@ -39,7 +56,7 @@ Array = jax.Array
 
 _LANES = 128
 # finite mask value: keeps the running max finite so exp() never sees
-# (-inf) - (-inf); fully-masked pages yield l = 0 which the caller's
+# (-inf) - (-inf); fully-masked windows yield l = 0 which the caller's
 # two-way merge zeroes out cleanly
 _MASK = -1e30
 
@@ -47,84 +64,104 @@ _MASK = -1e30
 def _paged_kernel(
     tbl_ref,  # scalar prefetch: (b, P) int32 page table slice
     clen_ref,  # scalar prefetch: (b,) int32 valid prefix length
-    q_ref,  # (1, nkv, rs, hd)
-    k_ref,  # (1, nkv, ps, hd) pool page
-    v_ref,
-    ks_ref,  # (1, ps, nkv) or None
+    q_ref,  # (1, nkv, rs, hd) VMEM block
+    kpool_ref,  # (pages, ps, nkv·hd) in HBM (pl.ANY)
+    vpool_ref,
+    ks_ref,  # (1, nkv, W) f32 VMEM block (XLA-gathered window scales), or None
     vs_ref,
     o_ref,  # (1, nkv, rs, hd) f32
     m_ref,  # (1, nkv, rs, 128) f32
     l_ref,
-    acc_s,  # (nkv, rs, hd) f32
-    m_s,  # (nkv, rs, 128) f32
-    l_s,
+    k_buf,  # (2, P, ps, nkv·hd) VMEM
+    v_buf,
+    sem,  # DMA sems (2, 2, P)
     *,
     sm_scale: float,
     nkv: int,
     rs: int,
     ps: int,
-    np_: int,
+    P: int,
+    nb: int,
     quant: bool,
 ):
     ib = pl.program_id(0)
-    j = pl.program_id(1)
+    W = P * ps
 
-    @pl.when(j == 0)
-    def _init():
-        acc_s[:] = jnp.zeros_like(acc_s)
-        m_s[:] = jnp.full_like(m_s, _MASK)
-        l_s[:] = jnp.zeros_like(l_s)
+    def dmas(st, t):
+        """All page copies for slot ``t`` into buffer set ``st``."""
+        out = []
+        for p in range(P):
+            pg = tbl_ref[t, p]
+            out.append(
+                pltpu.make_async_copy(
+                    kpool_ref.at[pg], k_buf.at[st, p], sem.at[st, 0, p]
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    vpool_ref.at[pg], v_buf.at[st, p], sem.at[st, 1, p]
+                )
+            )
+        return out
 
-    pos = j * ps + lax.broadcasted_iota(jnp.int32, (rs, ps), 1)
+    cur = lax.rem(ib, 2)
+    nxt = lax.rem(ib + 1, 2)
+
+    @pl.when(ib == 0)
+    def _warmup():
+        for d in dmas(cur, ib):
+            d.start()
+
+    @pl.when(ib + 1 < nb)
+    def _prefetch():
+        t = jnp.minimum(ib + 1, nb - 1)
+        for d in dmas(nxt, t):
+            d.start()
+
+    for d in dmas(cur, ib):
+        d.wait()
+
+    # whole-window compute, per KV head (static unroll)
+    hd = q_ref.shape[-1]
+    pos = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     valid = pos < clen_ref[ib]
-
-    for g in range(nkv):  # static unroll over KV heads of this page
+    validf = valid.astype(jnp.float32)
+    for g in range(nkv):
         q_g = q_ref[0, g]  # (rs, hd)
-        k_raw = k_ref[0, g]  # (ps, hd)
-        v_raw = v_ref[0, g]
-        if quant:
-            # per-position scales broadcast along head_dim (lanes) — free
-            kf = (
-                k_raw.astype(jnp.float32) * ks_ref[0][:, g : g + 1]
-            ).astype(q_g.dtype)
-            vf = (
-                v_raw.astype(jnp.float32) * vs_ref[0][:, g : g + 1]
-            ).astype(q_g.dtype)
-        else:
-            kf = k_raw.astype(q_g.dtype)
-            vf = v_raw.astype(q_g.dtype)
+        # 128-aligned minor slice of the flattened head axis
+        k_g = k_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
         s = (
             lax.dot_general(
-                q_g, kf, (((1,), (1,)), ((), ())),
+                q_g,
+                k_g.astype(q_g.dtype),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             * sm_scale
-        )  # (rs, ps)
+        )  # (rs, W)
+        if quant:
+            # per-position scales factor out of the hd contraction
+            s = s * ks_ref[0, g].reshape(1, W)
         s = jnp.where(valid, s, _MASK)
-        m_prev = m_s[g][:, :1]  # (rs, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new) * valid.astype(jnp.float32)
-        l_s[g] = jnp.broadcast_to(
-            l_s[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True),
-            (rs, _LANES),
-        )
-        acc_s[g] = acc_s[g] * alpha + lax.dot_general(
-            p.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
+        m = jnp.max(s, axis=1, keepdims=True)  # (rs, 1)
+        p = jnp.exp(s - m) * validf
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            # v scales factor out of the W contraction
+            p = p * vs_ref[0, g].reshape(1, W)
+        v_g = v_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
+        acc = lax.dot_general(
+            p.astype(q_g.dtype),
+            v_g.astype(q_g.dtype),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        m_s[g] = jnp.broadcast_to(m_new, (rs, _LANES))
-
-    @pl.when(j == np_ - 1)
-    def _store():
-        o_ref[0] = acc_s[:]
-        m_ref[0] = m_s[:]
-        l_ref[0] = l_s[:]
+        )  # (rs, hd)
+        o_ref[0, g] = acc
+        m_ref[0, g] = jnp.broadcast_to(m, (rs, _LANES))
+        l_ref[0, g] = jnp.broadcast_to(l, (rs, _LANES))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def paged_prefix_attention(
     q: Array,
     k_pool: Array,
@@ -140,7 +177,7 @@ def paged_prefix_attention(
     """Streaming-softmax attention state of ``q`` over paged cached KV.
 
     ``q``: (b, nkv, rs, hd) — ``rs`` packs (group query heads × new tokens).
-    ``k_pool``/``v_pool``: (num_pages, nkv, ps, hd); ``k_scale``/``v_scale``:
+    ``k_pool``/``v_pool``: (num_pages, ps, nkv·hd); ``k_scale``/``v_scale``:
     (num_pages, ps, nkv) fp32 or None (bf16 pools).  ``page_table``:
     (b, P) int32 — only the pages covering the attention window.
     ``cache_len``: (b,) int32 valid prefix per slot.
@@ -149,57 +186,61 @@ def paged_prefix_attention(
     lane-broadcast running max / sum (b, nkv, rs, 128) f32.
     """
     b, nkv, rs, hd = q.shape
-    ps = k_pool.shape[2]
+    ps = k_pool.shape[1]
     P = page_table.shape[1]
     quant = k_scale is not None
     cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (b,))
 
-    def q_map(ib, j, tbl, clen):
+    def q_map(ib, tbl, clen):
         return (ib, 0, 0, 0)
 
-    def page_map(ib, j, tbl, clen):
-        return (tbl[ib, j], 0, 0, 0)
+    def sc_map(ib, tbl, clen):
+        return (ib, 0, 0)
 
-    def scale_map(ib, j, tbl, clen):
-        return (tbl[ib, j], 0, 0)
-
-    def out_map(ib, j, tbl, clen):
-        return (ib, 0, 0, 0)
-
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec((1, nkv, rs, hd), q_map),
-        pl.BlockSpec((1, nkv, ps, hd), page_map),
-        pl.BlockSpec((1, nkv, ps, hd), page_map),
+        any_spec,
+        any_spec,
     ]
     operands = [q, k_pool, v_pool]
     if quant:
-        in_specs += [
-            pl.BlockSpec((1, ps, nkv), scale_map),
-            pl.BlockSpec((1, ps, nkv), scale_map),
-        ]
-        operands += [k_scale, v_scale]
+        # window scale gather in XLA (~1.5% of the window's KV bytes):
+        # (pages, ps, nkv) → (b, nkv, W) lane-ordered windows
+        def gather_scale(pool):
+            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps, nkv)
+            return g.transpose(0, 3, 1, 2).reshape(b, nkv, P * ps)
 
-    kernel = functools.partial(
+        in_specs += [
+            pl.BlockSpec((1, nkv, P * ps), sc_map),
+            pl.BlockSpec((1, nkv, P * ps), sc_map),
+        ]
+        operands += [gather_scale(k_scale), gather_scale(v_scale)]
+
+    kern = functools.partial(
         _paged_kernel if quant else _paged_kernel_noscale,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, np_=P, quant=quant,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b, quant=quant,
     )
+    pool_dt = k_pool.dtype
+    scratch = [
+        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
+        pltpu.SemaphoreType.DMA((2, 2, P)),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, P),
+        grid=(b,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, nkv, rs, hd), out_map),
-            pl.BlockSpec((1, nkv, rs, _LANES), out_map),
-            pl.BlockSpec((1, nkv, rs, _LANES), out_map),
+            pl.BlockSpec((1, nkv, rs, hd), q_map),
+            pl.BlockSpec((1, nkv, rs, _LANES), q_map),
+            pl.BlockSpec((1, nkv, rs, _LANES), q_map),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((nkv, rs, hd), jnp.float32),
-            pltpu.VMEM((nkv, rs, _LANES), jnp.float32),
-            pltpu.VMEM((nkv, rs, _LANES), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     acc, m, l = pl.pallas_call(
-        kernel,
+        kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, nkv, rs, hd), jnp.float32),
@@ -207,7 +248,7 @@ def paged_prefix_attention(
             jax.ShapeDtypeStruct((b, nkv, rs, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(page_table.astype(jnp.int32), cache_len, *operands)
@@ -215,13 +256,13 @@ def paged_prefix_attention(
 
 
 def _paged_kernel_noscale(
-    tbl_ref, clen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-    acc_s, m_s, l_s, *, sm_scale, nkv, rs, ps, np_, quant,
+    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, o_ref, m_ref, l_ref,
+    k_buf, v_buf, sem, *, sm_scale, nkv, rs, ps, P, nb, quant,
 ):
     _paged_kernel(
-        tbl_ref, clen_ref, q_ref, k_ref, v_ref, None, None,
-        o_ref, m_ref, l_ref, acc_s, m_s, l_s,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, np_=np_, quant=False,
+        tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, None, None,
+        o_ref, m_ref, l_ref, k_buf, v_buf, sem,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=nb, quant=False,
     )
 
 

@@ -24,18 +24,19 @@ from bitorch_engine_tpu.ops.pallas.paged_attention import (
 def _setup(key, b, nkv, rs, hd, pages, ps, P, quant, dtype=jnp.float32):
     ks = jax.random.split(key, 6)
     q = jax.random.normal(ks[0], (b, nkv, rs, hd), dtype)
+    # rank-3 token-major pools (pages, ps, nkv*hd) — models/paged_kv.py
     if quant:
-        k_pool = jax.random.randint(ks[1], (pages, nkv, ps, hd), -127, 128).astype(
+        k_pool = jax.random.randint(ks[1], (pages, ps, nkv * hd), -127, 128).astype(
             jnp.int8
         )
-        v_pool = jax.random.randint(ks[2], (pages, nkv, ps, hd), -127, 128).astype(
+        v_pool = jax.random.randint(ks[2], (pages, ps, nkv * hd), -127, 128).astype(
             jnp.int8
         )
         k_scale = jax.random.uniform(ks[3], (pages, ps, nkv), jnp.float32, 0.01, 0.03)
         v_scale = jax.random.uniform(ks[4], (pages, ps, nkv), jnp.float32, 0.01, 0.03)
     else:
-        k_pool = jax.random.normal(ks[1], (pages, nkv, ps, hd), dtype)
-        v_pool = jax.random.normal(ks[2], (pages, nkv, ps, hd), dtype)
+        k_pool = jax.random.normal(ks[1], (pages, ps, nkv * hd), dtype)
+        v_pool = jax.random.normal(ks[2], (pages, ps, nkv * hd), dtype)
         k_scale = v_scale = None
     # distinct random mapped pages per slot (page 0 = null)
     perm = jax.random.permutation(ks[5], pages - 1)[: b * P] + 1
@@ -46,13 +47,13 @@ def _setup(key, b, nkv, rs, hd, pages, ps, P, quant, dtype=jnp.float32):
 def _reference(q, k_pool, v_pool, k_scale, v_scale, table, cache_len, sm_scale):
     """Masked softmax over the gathered window (the XLA paged path math)."""
     b, nkv, rs, hd = q.shape
-    ps = k_pool.shape[2]
+    ps = k_pool.shape[1]
     P = table.shape[1]
     W = P * ps
 
-    def gather(pool):  # (pages, nkv, ps, hd) → (b, nkv, W, hd)
-        g = jnp.take(pool, table, axis=0)  # (b, P, nkv, ps, hd)
-        return g.transpose(0, 2, 1, 3, 4).reshape(b, nkv, W, hd)
+    def gather(pool):  # (pages, ps, nkv·hd) → (b, nkv, W, hd)
+        g = jnp.take(pool, table, axis=0)  # (b, P, ps, nkv·hd)
+        return g.reshape(b, W, nkv, hd).transpose(0, 2, 1, 3)
 
     kf = gather(k_pool).astype(jnp.float32)
     vf = gather(v_pool).astype(jnp.float32)
@@ -60,7 +61,7 @@ def _reference(q, k_pool, v_pool, k_scale, v_scale, table, cache_len, sm_scale):
 
         def gather_scale(pool):  # (pages, ps, nkv) → (b, nkv, W)
             g = jnp.take(pool, table, axis=0)  # (b, P, ps, nkv)
-            return g.transpose(0, 3, 1, 2).reshape(b, nkv, W)
+            return g.reshape(b, W, nkv).transpose(0, 2, 1)
 
         kf = kf * gather_scale(k_scale)[..., None]
         vf = vf * gather_scale(v_scale)[..., None]
@@ -123,8 +124,8 @@ def test_merge_with_new_tokens_matches_one_softmax():
 
     # one-softmax reference over the concatenation
     def gather(pool):
-        g = jnp.take(pool, tbl, axis=0)
-        return g.transpose(0, 2, 1, 3, 4).reshape(b, nkv, W, hd)
+        g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv·hd)
+        return g.reshape(b, W, nkv, hd).transpose(0, 2, 1, 3)
 
     k_cat = jnp.concatenate([gather(kp), k_new], axis=2)
     v_cat = jnp.concatenate([gather(vp), v_new], axis=2)
