@@ -378,9 +378,9 @@ class LlamaAttention(nn.Module):
                 return g.reshape(b, prefix_len, nkv, hd)
 
             def gather_scale(pool):
-                # scale pool (pages, ps, nkv) → (b, P·ps, nkv)
-                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv)
-                return g.reshape((b, prefix_len) + pool.shape[2:])
+                # rank-2 scale pool (pages, ps·nkv) → (b, P·ps, nkv)
+                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps·nkv)
+                return g.reshape(b, prefix_len, nkv)
 
             def pool_write(pool, update):
                 """Write ``update`` (b, s, F) at (page, off) — F is the
@@ -400,7 +400,22 @@ class LlamaAttention(nn.Module):
                 (s > 1, once per request) keeps the scatter — its page/off
                 indices are adjacent, the layout-benign scatter form."""
                 upd = update.astype(pool.dtype)
-                if s != 1:
+                # the unrolled dus chain is serial in b: past ~16 slots
+                # its per-op cost overtakes the (batched, layout-benign
+                # because indices are adjacent) scatter form
+                unroll = s == 1 and b <= 16
+                if pool.ndim == 2:
+                    # rank-2 scale pool (pages, ps·nkv): a token's nkv
+                    # scales live at columns [off·nkv, (off+1)·nkv)
+                    if not unroll:
+                        cols = off[:, :, None] * nkv + jnp.arange(nkv)[None, None]
+                        return pool.at[page[:, :, None], cols].set(upd)
+                    for i in range(b):
+                        pool = lax.dynamic_update_slice(
+                            pool, upd[i], (page[i, 0], off[i, 0] * nkv)
+                        )
+                    return pool
+                if not unroll:
                     return pool.at[page, off].set(upd)
                 for i in range(b):
                     pool = lax.dynamic_update_slice(

@@ -65,9 +65,11 @@ def paged_kv_shardings(mesh: Mesh, caches):
     table shards its slot axis over 'dp'.
     """
     # rank-3 pools (pages, page_size, kv_heads·head_dim): tp splits the
-    # flattened head axis (head-aligned because nkv % tp == 0)
+    # flattened head axis (head-aligned because nkv % tp == 0).  Rank-2
+    # scale pools interleave (token, head) on the minor axis so they stay
+    # replicated — ~264 KB/layer of fp32, negligible next to the pools.
     pool = NamedSharding(mesh, P(None, None, "tp"))
-    scale = NamedSharding(mesh, P(None, None, "tp"))
+    scale = NamedSharding(mesh, P(None, None))
     table = NamedSharding(mesh, P("dp", None))
     out = []
     for c in caches:

@@ -9,8 +9,8 @@ Design (TPU-first, static shapes throughout):
 
 * one **page pool** per layer — token-major rank-3 ``(num_pages,
   page_size, kv_heads·head_dim)`` for K and V (int8 pools + fp32
-  per-position ``(num_pages, page_size, kv_heads)`` scale pools in the
-  int8 serving config) — shared by every slot.  This layout is the fixed
+  per-position rank-2 ``(num_pages, page_size·kv_heads)`` scale pools in
+  the int8 serving config) — shared by every slot.  This layout is the fixed
   point of three hardware constraints (each violated alternative was
   measured, BENCH_NOTES r3): one decode token is a single contiguous
   ``(1, 1, kv_heads·hd)`` dus (a head-major pool makes the token write
@@ -62,8 +62,12 @@ class PagedKV:
     ``k_pool``/``v_pool`` are ``(num_pages, page_size, kv_heads·head_dim)``
     (``kv_heads`` rides as static pytree metadata so attention can split
     the flattened head axis).  ``k_scale``/``v_scale`` are ``None`` in
-    bf16 mode; in int8 mode they hold fp32 per-position scales
-    ``(num_pages, page_size, kv_heads)``.
+    bf16 mode; in int8 mode they hold fp32 per-position scales flattened
+    to rank-2 ``(num_pages, page_size·kv_heads)`` — rank-2 admits exactly
+    one layout, so XLA cannot pick a permuted internal layout and pay
+    boundary copies (a rank-3 ``(pages, ps, nkv)`` scale pool measured
+    ~220 µs/step of layout-change copies on 8B, BENCH_NOTES r3), and a
+    token's ``nkv`` scales stay one contiguous dus.
     ``page_table`` ``(b, pages_per_slot) int32`` holds the same *values*
     for every layer but must be a **distinct device buffer per layer**:
     the serving step donates the cache pytree, and XLA rejects donating
@@ -104,7 +108,7 @@ def init_paged_kv_caches(
         # distinct buffer per layer — the donated-step requirement above
         table = jnp.zeros((slots, pages_per_slot), jnp.int32)
         if cfg.kv_cache_dtype == "int8":
-            sshape = (num_pages, page_size, cfg.num_kv_heads)
+            sshape = (num_pages, page_size * cfg.num_kv_heads)
             caches.append(
                 PagedKV(
                     k_pool=jnp.zeros(shape, jnp.int8),

@@ -121,44 +121,56 @@ def _paged_kernel(
     for d in dmas(cur, ib):
         d.wait()
 
-    # whole-window compute, per KV head (static unroll)
+    # whole-window compute: per-head MXU dots, but ALL the vector work
+    # (scale fold, mask, max, exp, sum) batched over one (nkv·rs, W)
+    # block — per-head (rs, W) vector ops at rs=4 waste 8× issue slots
     hd = q_ref.shape[-1]
+    dtype = q_ref.dtype
     pos = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     valid = pos < clen_ref[ib]
     validf = valid.astype(jnp.float32)
+
+    s_parts = []
     for g in range(nkv):
         q_g = q_ref[0, g]  # (rs, hd)
         # 128-aligned minor slice of the flattened head axis
         k_g = k_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
-        s = (
+        s_parts.append(
             lax.dot_general(
                 q_g,
-                k_g.astype(q_g.dtype),
+                k_g.astype(dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            * sm_scale
-        )  # (rs, W)
-        if quant:
-            # per-position scales factor out of the hd contraction
-            s = s * ks_ref[0, g].reshape(1, W)
-        s = jnp.where(valid, s, _MASK)
-        m = jnp.max(s, axis=1, keepdims=True)  # (rs, 1)
-        p = jnp.exp(s - m) * validf
-        l = jnp.sum(p, axis=1, keepdims=True)
-        if quant:
-            # v scales factor out of the W contraction
-            p = p * vs_ref[0, g].reshape(1, W)
+        )
+    s = jnp.concatenate(s_parts, axis=0) * sm_scale  # (nkv·rs, W)
+    if quant:
+        # per-position k scales factor out of the hd contraction
+        ks = jnp.broadcast_to(
+            ks_ref[0].reshape(nkv, 1, W), (nkv, rs, W)
+        ).reshape(nkv * rs, W)
+        s = s * ks
+    s = jnp.where(valid, s, _MASK)
+    m = jnp.max(s, axis=1, keepdims=True)  # (nkv·rs, 1)
+    p = jnp.exp(s - m) * validf
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if quant:
+        # v scales factor out of the W contraction
+        vs = jnp.broadcast_to(
+            vs_ref[0].reshape(nkv, 1, W), (nkv, rs, W)
+        ).reshape(nkv * rs, W)
+        p = p * vs
+    pv = p.astype(dtype)
+    for g in range(nkv):
         v_g = v_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
-        acc = lax.dot_general(
-            p.astype(q_g.dtype),
-            v_g.astype(q_g.dtype),
+        o_ref[0, g] = lax.dot_general(
+            pv[g * rs : (g + 1) * rs],
+            v_g.astype(dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (rs, hd)
-        o_ref[0, g] = acc
-        m_ref[0, g] = jnp.broadcast_to(m, (rs, _LANES))
-        l_ref[0, g] = jnp.broadcast_to(l, (rs, _LANES))
+    m_ref[0] = jnp.broadcast_to(m.reshape(nkv, rs, 1), (nkv, rs, _LANES))
+    l_ref[0] = jnp.broadcast_to(l.reshape(nkv, rs, 1), (nkv, rs, _LANES))
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -178,7 +190,7 @@ def paged_prefix_attention(
 
     ``q``: (b, nkv, rs, hd) — ``rs`` packs (group query heads × new tokens).
     ``k_pool``/``v_pool``: (num_pages, ps, nkv·hd); ``k_scale``/``v_scale``:
-    (num_pages, ps, nkv) fp32 or None (bf16 pools).  ``page_table``:
+    (num_pages, ps·nkv) fp32 or None (bf16 pools).  ``page_table``:
     (b, P) int32 — only the pages covering the attention window.
     ``cache_len``: (b,) int32 valid prefix per slot.
 
@@ -206,10 +218,10 @@ def paged_prefix_attention(
     operands = [q, k_pool, v_pool]
     if quant:
         # window scale gather in XLA (~1.5% of the window's KV bytes):
-        # (pages, ps, nkv) → (b, nkv, W) lane-ordered windows
+        # rank-2 (pages, ps·nkv) → (b, nkv, W) lane-ordered windows
         def gather_scale(pool):
-            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps, nkv)
-            return g.transpose(0, 3, 1, 2).reshape(b, nkv, P * ps)
+            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps·nkv)
+            return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
 
         in_specs += [
             pl.BlockSpec((1, nkv, P * ps), sc_map),

@@ -1,8 +1,14 @@
 """Train a binary/4-bit conv net on CIFAR-10 with DiodeMix (configs[1]).
 
-Loads CIFAR-10 from the python-pickle batches if present (``--data-dir``);
-otherwise a synthetic 10-class 32x32x3 task keeps the example runnable in
-the zero-egress sandbox.
+Loads CIFAR-10 from the python-pickle batches if present (``--data-dir``).
+The zero-egress sandbox cannot download CIFAR, and no CIFAR-scale labeled
+image set ships with the installed packages — the fallback is therefore a
+REAL-image stand-in built from the two natural RGB photos bundled inside
+scikit-learn (``load_sample_images``): 32x32x3 patches labeled by (photo,
+top/bottom region) = 4 visually distinct classes, with spatially disjoint
+train/test crop columns.  Same input shape, real natural-image statistics
+(unlike the round-1/2 synthetic Gaussian protos), honest about not being
+CIFAR-10 itself.
 
 Usage:
     python examples/cifar/train_cifar.py --bits 1 --epochs 2 [--cpu]
@@ -37,16 +43,34 @@ def load_cifar10(data_dir):
     return (to_nhwc(xs), ys), (to_nhwc(xt), yt)
 
 
-def synthetic(n_train=4096, n_test=1024, seed=0):
+def natural_patches(n_train=4096, n_test=1024, seed=0):
+    """Real-image fallback task: 32x32 RGB crops of the two natural photos
+    that ship inside scikit-learn (no network needed), labeled by
+    (photo, top/bottom half) -> 4 classes.  Train crops come from the left
+    75% of columns, test crops from the right 25% (disjoint pixels)."""
+    from sklearn.datasets import load_sample_images
+
+    images = load_sample_images().images  # two (427, 640, 3) uint8 photos
     rng = np.random.default_rng(seed)
-    protos = rng.standard_normal((10, 32, 32, 3)).astype(np.float32)
 
-    def make(n):
-        y = rng.integers(0, 10, n)
-        x = protos[y] + rng.standard_normal((n, 32, 32, 3)).astype(np.float32) * 0.7
-        return x, y
+    def make(n, col_lo, col_hi):
+        xs = np.empty((n, 32, 32, 3), np.float32)
+        ys = np.empty((n,), np.int64)
+        for i in range(n):
+            img_i = int(rng.integers(0, len(images)))
+            img = images[img_i]
+            h, w, _ = img.shape
+            half = int(rng.integers(0, 2))  # 0 = top, 1 = bottom
+            r0 = int(rng.integers(0, h // 2 - 32)) + (h // 2) * half
+            c0 = int(rng.integers(col_lo, col_hi - 32))
+            patch = img[r0 : r0 + 32, c0 : c0 + 32].astype(np.float32)
+            xs[i] = (patch / 255.0 - 0.5) * 2
+            ys[i] = img_i * 2 + half
+        return xs, ys
 
-    return make(n_train), make(n_test)
+    w = images[0].shape[1]
+    split = int(w * 0.75)
+    return make(n_train, 0, split), make(n_test, split, w)
 
 
 def main():
@@ -77,12 +101,18 @@ def main():
 
     data = load_cifar10(args.data_dir)
     if data is None:
-        print("# CIFAR batches not found; using the synthetic fallback task")
-        (xtr, ytr), (xte, yte) = synthetic()
+        print(
+            "# CIFAR batches not found; using the real-image fallback "
+            "(sklearn sample-photo patches, 4 classes)"
+        )
+        (xtr, ytr), (xte, yte) = natural_patches()
     else:
         (xtr, ytr), (xte, yte) = data
 
-    model = QuantConvNet(bits=args.bits, widths=(32, 64, 64, 128))
+    n_classes = int(np.max(ytr)) + 1
+    model = QuantConvNet(
+        n_classes=n_classes, bits=args.bits, widths=(32, 64, 64, 128)
+    )
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(xtr[:8]))
     variables = prepare_for_training(variables)
     # binary sign-descent needs faster EMAs than the reference's LLM-tuned

@@ -32,8 +32,12 @@ def _setup(key, b, nkv, rs, hd, pages, ps, P, quant, dtype=jnp.float32):
         v_pool = jax.random.randint(ks[2], (pages, ps, nkv * hd), -127, 128).astype(
             jnp.int8
         )
-        k_scale = jax.random.uniform(ks[3], (pages, ps, nkv), jnp.float32, 0.01, 0.03)
-        v_scale = jax.random.uniform(ks[4], (pages, ps, nkv), jnp.float32, 0.01, 0.03)
+        k_scale = jax.random.uniform(
+            ks[3], (pages, ps * nkv), jnp.float32, 0.01, 0.03
+        )
+        v_scale = jax.random.uniform(
+            ks[4], (pages, ps * nkv), jnp.float32, 0.01, 0.03
+        )
     else:
         k_pool = jax.random.normal(ks[1], (pages, ps, nkv * hd), dtype)
         v_pool = jax.random.normal(ks[2], (pages, ps, nkv * hd), dtype)
@@ -59,8 +63,8 @@ def _reference(q, k_pool, v_pool, k_scale, v_scale, table, cache_len, sm_scale):
     vf = gather(v_pool).astype(jnp.float32)
     if k_scale is not None:
 
-        def gather_scale(pool):  # (pages, ps, nkv) → (b, nkv, W)
-            g = jnp.take(pool, table, axis=0)  # (b, P, ps, nkv)
+        def gather_scale(pool):  # rank-2 (pages, ps·nkv) → (b, nkv, W)
+            g = jnp.take(pool, table, axis=0)  # (b, P, ps·nkv)
             return g.reshape(b, W, nkv).transpose(0, 2, 1)
 
         kf = kf * gather_scale(k_scale)[..., None]
