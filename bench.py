@@ -200,6 +200,65 @@ def e2e_decode(kv_cache_dtype="int8", head_bits=None):
     return dt, (256 if full is not None else CACHE_LEN), full
 
 
+def e2e_decode_paged():
+    """Paged-KV decode arm (the serving allocator's memory layout) on the
+    same llama3-8B w4 serving config: in-place Pallas paged-attention
+    kernel + rank-3 token-major page pools.  Returns seconds/step; the
+    headline metric divides by the dense step for the paged overhead
+    ratio (round-3 target <= 1.05x; BENCH_PAGED=0 skips)."""
+    import functools
+
+    from bitorch_engine_tpu.models.llama import LlamaModel, llama3_8b
+    from bitorch_engine_tpu.models.paged_kv import (
+        PageAllocator,
+        init_paged_kv_caches,
+    )
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
+
+    page_size = 64
+    cfg = llama3_8b(
+        dtype=jnp.bfloat16, w_bit=W_BIT, group_size=GROUP,
+        max_seq_len=CACHE_LEN, kv_cache_dtype="int8", quantize_embed=True,
+        head_w_bit=4, head_pad_to=2048, fuse_qkv=True, fuse_gate_up=True,
+    )
+    model = LlamaModel(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((BATCH, 1), jnp.int32))
+    params = relayout_params_for_tpu(params, meta_dtype=jnp.bfloat16)
+    pps = CACHE_LEN // page_size
+    alloc = PageAllocator(BATCH * pps + 1, page_size, BATCH, pps)
+    for slot in range(BATCH):
+        assert alloc.alloc(slot, CACHE_LEN)
+    caches = init_paged_kv_caches(cfg, BATCH * pps + 1, page_size, BATCH, pps)
+    tbl = jnp.asarray(alloc.table)
+    caches = [c.replace(page_table=tbl + 0) for c in caches]
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(params, tok, caches, pos):
+        positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches,
+            cache_len=pos, attn_window=256,
+        )
+        return jnp.argmax(logits[:, -1], -1)[:, None], caches
+
+    tok = jnp.ones((BATCH, 1), jnp.int32)
+    tok, caches = step(params, tok, caches, jnp.asarray(0, jnp.int32))
+    int(tok[0, 0])
+    pos = 1
+
+    def timed(steps):
+        nonlocal tok, caches, pos
+        t0 = time.time()
+        for i in range(pos, pos + steps):
+            tok, caches = step(params, tok, caches, jnp.asarray(i, jnp.int32))
+        int(tok[0, 0])
+        pos += steps
+        return (time.time() - t0) / steps
+
+    timed(10)
+    return min(timed(50), timed(50))
+
+
 def moe_decode():
     """MoE model-family decode arm (regression surface for the Mixtral path).
 
@@ -328,6 +387,21 @@ def main():
     step_bytes = packed_bytes * LAYERS + lm_bytes + kv_bytes
     roofline_toks = BATCH / (step_bytes / HBM_BW)
 
+    # paged-KV decode arm (serving memory layout; in-place paged kernel)
+    paged_extra = {}
+    if run_e2e and os.environ.get("BENCH_PAGED", "1") != "0":
+        print(f"# [{time.strftime('%H:%M:%S')}] paged decode arm ...", file=sys.stderr, flush=True)
+        paged_step = e2e_decode_paged()
+        paged_extra = {
+            "paged_decode_toks_per_s": round(BATCH / paged_step, 2),
+            "paged_vs_dense_ratio": round(paged_step / step, 3),
+        }
+        print(
+            f"# paged decode: {BATCH/paged_step:.1f} tok/s/chip "
+            f"({paged_step/step:.3f}x dense)",
+            file=sys.stderr,
+        )
+
     # MoE decode arm (driver-tracked regression surface for the MoE family)
     moe_extra = {}
     if run_e2e and os.environ.get("BENCH_MOE", "1") != "0":
@@ -372,6 +446,7 @@ def main():
                     "pct_of_roofline": round(100 * toks / roofline_toks, 1),
                     "ms_per_step": round(1e3 * BATCH / toks, 2),
                     "backend": jax.default_backend(),
+                    **paged_extra,
                     **moe_extra,
                     **full_extra,
                 },
