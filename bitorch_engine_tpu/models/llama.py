@@ -50,6 +50,10 @@ class LlamaConfig:
     # GreenBit channel-mixed-bit mode: a strategy tuple like
     # ((2, 0.75), (4, 0.25)) → MBWQLinear projections (configs[3] path)
     mbwq_strategy: Any = struct.field(pytree_node=False, default=None)
+    # per-bit storage-container override for MBWQ segments, e.g. {2: 4}
+    # stores the 2-bit codes in 4-bit containers (identical quantization
+    # values; see ops/mbwq_linear.py::quantize_mbwq for the v5e trade)
+    mbwq_container_bits: Any = struct.field(pytree_node=False, default=None)
     # Pallas flash attention for prefill (TPU only; decode keeps the
     # KV-cache einsum path). Greenfield vs the reference's O(L²) BMHA
     # softmax (SURVEY.md §5 long-context row).
@@ -262,6 +266,10 @@ def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False
             "bits_prop": props,
             "group_size": {str(b): cfg.group_size for b in bits},
         }
+        if cfg.mbwq_container_bits:
+            strategy["container_bits"] = {
+                str(kk): int(v) for kk, v in dict(cfg.mbwq_container_bits).items()
+            }
         return MBWQLinear(out_features, strategy=strategy, dtype=cfg.dtype, name=name)
     if cfg.quantized:
         return MPQLinear(

@@ -94,6 +94,15 @@ def quantize_mbwq(
     bits = [int(b) for b in strategy["bits"]]
     props = [float(p) for p in strategy["bits_prop"]]
     gs_map = {int(kk): int(v) for kk, v in strategy.get("group_size", {}).items()}
+    # per-bit storage-container override, e.g. {"2": 4}: store 2-bit codes
+    # in 4-bit containers.  Quantization VALUES are identical (same maxq);
+    # only the stored width changes (average_bits stays 2.x,
+    # average_storage_bits reports the real footprint).  NOTE: on v5e this
+    # does NOT speed up decode — the w2 path is bound by paired-lane
+    # extract ops per CODE (container-independent), so wider containers
+    # only add bytes (BENCH_NOTES round 3).  Kept as an experiment knob
+    # and for formats that prescribe container widths.
+    cont_map = {int(kk): int(v) for kk, v in strategy.get("container_bits", {}).items()}
     base_gs = min(gs_map.values()) if gs_map else 32
 
     k, n = weight.shape
@@ -132,9 +141,11 @@ def quantize_mbwq(
         rows = (blocks[:, None].astype(jnp.int32) * base_gs + row_offsets).reshape(-1)
         perm_parts.append(rows)
         seg_w = w[rows]
-        container = packing.CONTAINER_BITS.get(b)
+        container = cont_map.get(b, packing.CONTAINER_BITS.get(b))
         if container is None:
             raise ValueError(f"unsupported bits={b}; choose from {sorted(packing.CONTAINER_BITS)}")
+        if container < b:
+            raise ValueError(f"container_bits[{b}]={container} < code width")
         gs = _fit_group_size(gs_map.get(b, base_gs), cnt * base_gs, container)
         segments.append(
             quantize_mpq(
