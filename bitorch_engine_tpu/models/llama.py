@@ -369,6 +369,7 @@ class LlamaAttention(nn.Module):
         ks_new = vs_new = None
         prefix_len = 0
         full_read = False
+        kernel_wb = False
         if isinstance(kv_cache, PagedKV):
             full_read = attn_window is None or attn_window >= kv_cache.view_len
             page, off = paged_write_positions(kv_cache, cache_len, b, s)
@@ -379,6 +380,27 @@ class LlamaAttention(nn.Module):
                 # full table); window 0 = prefill-from-empty, no gather
                 tbl = tbl[:, : max(0 if attn_window == 0 else 1, -(-attn_window // ps))]
             prefix_len = tbl.shape[1] * ps
+
+            # decode steps on the Pallas paged path fuse the cache WRITE
+            # into the kernel (in-place page writeback via
+            # input_output_aliases) — every XLA-side pool write form has a
+            # measured pathology at some batch size (BENCH_NOTES r3).
+            # Contract: attn_window > max(cache_len) puts the write page
+            # inside the window's table slice.
+            import os as _os
+
+            kernel_wb = (
+                not full_read
+                and prefix_len > 0
+                and s == 1
+                and hd % 128 == 0
+                and _paged_kernel_mode() != "0"
+                and (
+                    jax.default_backend() == "tpu"
+                    or _paged_kernel_mode() == "interpret"
+                )
+                and _os.environ.get("BITORCH_PAGED_WRITEBACK", "1") != "0"
+            )
 
             def gather(pool):
                 # rank-3 KV pool (pages, ps, nkv·hd) → (b, P·ps, nkv, hd)
@@ -434,28 +456,34 @@ class LlamaAttention(nn.Module):
             if kv_quant:
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
-                kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
-                vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
-                ksp = pool_write(kv_cache.k_scale, ks_new)
-                vsp = pool_write(kv_cache.v_scale, vs_new)
-                new_cache = kv_cache.replace(
-                    k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
-                )
+                if kernel_wb:
+                    new_cache = None  # built by the kernel writeback below
+                else:
+                    kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
+                    vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
+                    ksp = pool_write(kv_cache.k_scale, ks_new)
+                    vsp = pool_write(kv_cache.v_scale, vs_new)
+                    new_cache = kv_cache.replace(
+                        k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
+                    )
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)
                     ks_all, vs_all = gather_scale(ksp), gather_scale(vsp)
-                elif prefix_len:
+                elif prefix_len and not kernel_wb:
                     ks_pre = gather_scale(kv_cache.k_scale)
                     vs_pre = gather_scale(kv_cache.v_scale)
             else:
                 k_new = k.astype(kv_cache.k_pool.dtype)
                 v_new = v.astype(kv_cache.v_pool.dtype)
-                kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
-                vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
-                new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
+                if kernel_wb:
+                    new_cache = None
+                else:
+                    kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
+                    vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
+                    new_cache = kv_cache.replace(k_pool=kp, v_pool=vp)
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)
-            if not full_read and prefix_len:
+            if not full_read and prefix_len and not kernel_wb:
                 k_pre, v_pre = gather(kv_cache.k_pool), gather(kv_cache.v_pool)
             kv_len = prefix_len
         elif kv_cache is not None:
@@ -677,17 +705,46 @@ class LlamaAttention(nn.Module):
                 .transpose(0, 2, 3, 1, 4)
                 .reshape(b, nkv, rs, hd)
             )
-            acc_p, m_p, l_p = paged_prefix_attention(
-                qk2,
-                kv_cache.k_pool,
-                kv_cache.v_pool,
-                kv_cache.k_scale,
-                kv_cache.v_scale,
-                tbl,
-                cache_len,
-                sm_scale=1.0 / math.sqrt(hd),
-                interpret=_paged_kernel_mode() == "interpret",
-            )
+            if kernel_wb:
+                from ..ops.pallas.paged_attention import (
+                    paged_prefix_attention_update,
+                )
+
+                acc_p, m_p, l_p, kp2, vp2, ksp2, vsp2 = (
+                    paged_prefix_attention_update(
+                        qk2,
+                        kv_cache.k_pool,
+                        kv_cache.v_pool,
+                        kv_cache.k_scale,
+                        kv_cache.v_scale,
+                        tbl,
+                        cache_len,
+                        k_new.reshape(b, nkv * hd),
+                        v_new.reshape(b, nkv * hd),
+                        None if ks_new is None else ks_new.reshape(b, nkv),
+                        None if vs_new is None else vs_new.reshape(b, nkv),
+                        sm_scale=1.0 / math.sqrt(hd),
+                        interpret=_paged_kernel_mode() == "interpret",
+                    )
+                )
+                if kv_quant:
+                    new_cache = kv_cache.replace(
+                        k_pool=kp2, v_pool=vp2, k_scale=ksp2, v_scale=vsp2
+                    )
+                else:
+                    new_cache = kv_cache.replace(k_pool=kp2, v_pool=vp2)
+            else:
+                acc_p, m_p, l_p = paged_prefix_attention(
+                    qk2,
+                    kv_cache.k_pool,
+                    kv_cache.v_pool,
+                    kv_cache.k_scale,
+                    kv_cache.v_scale,
+                    tbl,
+                    cache_len,
+                    sm_scale=1.0 / math.sqrt(hd),
+                    interpret=_paged_kernel_mode() == "interpret",
+                )
             if kv_quant:
                 kd2 = (k_new.astype(jnp.float32) * ks_new[..., None]).astype(
                     qk2.dtype

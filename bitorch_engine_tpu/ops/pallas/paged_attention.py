@@ -69,12 +69,23 @@ def _paged_kernel(
     vpool_ref,
     ks_ref,  # (1, nkv, W) f32 VMEM block (XLA-gathered window scales), or None
     vs_ref,
+    ksrow_ref,  # writeback: (1, ps·nkv) f32 post-update write-page scale row
+    vsrow_ref,
+    kn_ref,  # writeback: (1, nkv·hd) pool-dtype new-token payload
+    vn_ref,
     o_ref,  # (1, nkv, rs, hd) f32
     m_ref,  # (1, nkv, rs, 128) f32
     l_ref,
+    kp_out,  # aliased pool outputs (pl.ANY) — writeback destinations
+    vp_out,
+    ksp_out,
+    vsp_out,
     k_buf,  # (2, P, ps, nkv·hd) VMEM
     v_buf,
+    wb_k,  # (ps, nkv·hd) VMEM writeback staging, or None
+    wb_v,
     sem,  # DMA sems (2, 2, P)
+    wsem,  # writeback DMA sems (4,), or None
     *,
     sm_scale: float,
     nkv: int,
@@ -83,6 +94,7 @@ def _paged_kernel(
     P: int,
     nb: int,
     quant: bool,
+    writeback: bool,
 ):
     ib = pl.program_id(0)
     W = P * ps
@@ -172,6 +184,41 @@ def _paged_kernel(
     m_ref[0] = jnp.broadcast_to(m.reshape(nkv, rs, 1), (nkv, rs, _LANES))
     l_ref[0] = jnp.broadcast_to(l.reshape(nkv, rs, 1), (nkv, rs, _LANES))
 
+    if writeback:
+        # In-place decode write: the token at position clen lands in window
+        # page wp = clen // ps at row woff = clen % ps.  The page is already
+        # in VMEM (attention above masked it out via pos < clen); insert the
+        # token with a row select and DMA the FULL page back to the pool —
+        # page-granular, tile-aligned, rides the kernel (no XLA-side pool
+        # write op exists at all).  Scale rows arrive post-update from XLA
+        # (tiny) and are DMA'd whole.  Slots own disjoint pages, so the
+        # writeback cannot race the next slot's prefetch except on the
+        # inert null page.
+        clen = clen_ref[ib]
+        # clamp for memory safety: a caller-contract violation
+        # (cache_len >= window) would otherwise index past the table
+        # slice; the violation itself is already NaN-poisoned upstream
+        wp = jnp.minimum(clen // ps, P - 1)
+        woff = lax.rem(clen, ps)
+        pg_w = tbl_ref[ib, wp]
+        row = lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
+        is_row = row == woff
+        wb_k[:] = jnp.where(is_row, kn_ref[0][None, :], k_buf[cur, wp])
+        wb_v[:] = jnp.where(is_row, vn_ref[0][None, :], v_buf[cur, wp])
+        copies = [
+            pltpu.make_async_copy(wb_k, kp_out.at[pg_w], wsem.at[0]),
+            pltpu.make_async_copy(wb_v, vp_out.at[pg_w], wsem.at[1]),
+        ]
+        if quant:
+            copies += [
+                pltpu.make_async_copy(ksrow_ref.at[0], ksp_out.at[pg_w], wsem.at[2]),
+                pltpu.make_async_copy(vsrow_ref.at[0], vsp_out.at[pg_w], wsem.at[3]),
+            ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def paged_prefix_attention(
@@ -230,8 +277,8 @@ def paged_prefix_attention(
         operands += [gather_scale(k_scale), gather_scale(v_scale)]
 
     kern = functools.partial(
-        _paged_kernel if quant else _paged_kernel_noscale,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b, quant=quant,
+        _paged_kernel_quant if quant else _paged_kernel_noscale,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b,
     )
     pool_dt = k_pool.dtype
     scratch = [
@@ -267,14 +314,209 @@ def paged_prefix_attention(
     return acc, m, l
 
 
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_prefix_attention_update(
+    q: Array,
+    k_pool: Array,
+    v_pool: Array,
+    k_scale: Optional[Array],
+    v_scale: Optional[Array],
+    page_table: Array,
+    cache_len: Array,
+    k_new: Array,
+    v_new: Array,
+    ks_new: Optional[Array],
+    vs_new: Optional[Array],
+    *,
+    sm_scale: float,
+    interpret: bool = False,
+):
+    """:func:`paged_prefix_attention` PLUS the decode-step cache write,
+    fused into the same kernel launch via ``input_output_aliases``.
+
+    The new token (``k_new``/``v_new``: (b, nkv·hd) pool dtype, with
+    (b, nkv) fp32 ``ks_new``/``vs_new`` in int8 mode) is inserted into its
+    window page in VMEM and the full page is DMA'd back in place — no
+    XLA-side pool write op exists (the per-slot dus chain is serial in b
+    and the scatter form lowers to while-loop machinery; BENCH_NOTES r3).
+    ``cache_len`` is the write position per slot; the caller contract is
+    ``attn_window > max(cache_len)`` so the write page is inside the
+    window slice of ``page_table``.
+
+    Returns ``(acc, m, l, k_pool', v_pool', k_scale', v_scale')`` (scale
+    outputs None in bf16 mode).
+    """
+    b, nkv, rs, hd = q.shape
+    ps = k_pool.shape[1]
+    P = page_table.shape[1]
+    quant = k_scale is not None
+    cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (b,))
+
+    def q_map(ib, tbl, clen):
+        return (ib, 0, 0, 0)
+
+    def sc_map(ib, tbl, clen):
+        return (ib, 0, 0)
+
+    def row_map(ib, tbl, clen):
+        return (ib, 0)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [pl.BlockSpec((1, nkv, rs, hd), q_map), any_spec, any_spec]
+    operands = [q, k_pool, v_pool]
+    if quant:
+
+        def gather_scale(pool):
+            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps·nkv)
+            return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
+
+        # post-update write-page scale rows, prepared in XLA (tiny): the
+        # in-kernel alternative is an unaligned (nkv·f32) strided DMA
+        wp = jnp.minimum(cache_len // ps, P - 1)
+        woff = cache_len % ps
+        pg_w = jnp.take_along_axis(page_table, wp[:, None], axis=1)[:, 0]
+
+        def upd_row(row, sc, o):
+            return lax.dynamic_update_slice(row, sc, (o * nkv,))
+
+        ksrow = jax.vmap(upd_row)(k_scale[pg_w], ks_new.astype(jnp.float32), woff)
+        vsrow = jax.vmap(upd_row)(v_scale[pg_w], vs_new.astype(jnp.float32), woff)
+        in_specs += [
+            any_spec,
+            any_spec,
+            pl.BlockSpec((1, nkv, P * ps), sc_map),
+            pl.BlockSpec((1, nkv, P * ps), sc_map),
+            pl.BlockSpec((1, ps * nkv), row_map),
+            pl.BlockSpec((1, ps * nkv), row_map),
+        ]
+        operands += [
+            k_scale,
+            v_scale,
+            gather_scale(k_scale),
+            gather_scale(v_scale),
+            ksrow,
+            vsrow,
+        ]
+    in_specs += [
+        pl.BlockSpec((1, nkv * hd), row_map),
+        pl.BlockSpec((1, nkv * hd), row_map),
+    ]
+    operands += [k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype)]
+
+    kern = functools.partial(
+        _paged_kernel_quant_wb if quant else _paged_kernel_noscale_wb,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b,
+    )
+    pool_dt = k_pool.dtype
+    scratch = [
+        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((ps, nkv * hd), pool_dt),
+        pltpu.VMEM((ps, nkv * hd), pool_dt),
+        pltpu.SemaphoreType.DMA((2, 2, P)),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nkv, rs, hd), jnp.float32),
+        jax.ShapeDtypeStruct((b, nkv, rs, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, nkv, rs, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+        jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, nkv, rs, hd), q_map),
+        pl.BlockSpec((1, nkv, rs, _LANES), q_map),
+        pl.BlockSpec((1, nkv, rs, _LANES), q_map),
+        any_spec,
+        any_spec,
+    ]
+    # flattened-input indices include the two scalar-prefetch operands:
+    # 0=tbl 1=clen 2=q 3=k_pool 4=v_pool [5=k_scale 6=v_scale ...]
+    if quant:
+        aliases = {3: 3, 4: 4, 5: 5, 6: 6}
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+        out_specs += [any_spec, any_spec]
+    else:
+        aliases = {3: 3, 4: 4}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), cache_len, *operands)
+    if quant:
+        acc, m, l, kp, vp, ksp, vsp = outs
+        return acc, m, l, kp, vp, ksp, vsp
+    acc, m, l, kp, vp = outs
+    return acc, m, l, kp, vp, None, None
+
+
 def _paged_kernel_noscale(
     tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, o_ref, m_ref, l_ref,
-    k_buf, v_buf, sem, *, sm_scale, nkv, rs, ps, P, nb, quant,
+    k_buf, v_buf, sem, **kw,
 ):
     _paged_kernel(
         tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, None, None,
-        o_ref, m_ref, l_ref, k_buf, v_buf, sem,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=nb, quant=False,
+        None, None, None, None, o_ref, m_ref, l_ref,
+        None, None, None, None, k_buf, v_buf, None, None, sem, None,
+        **dict(kw, quant=False, writeback=False),
+    )
+
+
+def _paged_kernel_quant(
+    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
+    o_ref, m_ref, l_ref, k_buf, v_buf, sem, **kw,
+):
+    _paged_kernel(
+        tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
+        None, None, None, None, o_ref, m_ref, l_ref,
+        None, None, None, None, k_buf, v_buf, None, None, sem, None,
+        **dict(kw, quant=True, writeback=False),
+    )
+
+
+def _paged_kernel_quant_wb(
+    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, kspool_ref, vspool_ref,
+    ks_ref, vs_ref, ksrow_ref, vsrow_ref, kn_ref, vn_ref,
+    o_ref, m_ref, l_ref, kp_out, vp_out, ksp_out, vsp_out,
+    k_buf, v_buf, wb_k, wb_v, sem, wsem, **kw,
+):
+    # kspool_ref/vspool_ref are alias SOURCES only (scale windows arrive
+    # pre-gathered in ks_ref/vs_ref; the kernel writes ksp_out/vsp_out)
+    del kspool_ref, vspool_ref
+    _paged_kernel(
+        tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
+        ksrow_ref, vsrow_ref, kn_ref, vn_ref, o_ref, m_ref, l_ref,
+        kp_out, vp_out, ksp_out, vsp_out, k_buf, v_buf, wb_k, wb_v,
+        sem, wsem, **dict(kw, quant=True, writeback=True),
+    )
+
+
+def _paged_kernel_noscale_wb(
+    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, kn_ref, vn_ref,
+    o_ref, m_ref, l_ref, kp_out, vp_out,
+    k_buf, v_buf, wb_k, wb_v, sem, wsem, **kw,
+):
+    _paged_kernel(
+        tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, None, None,
+        None, None, kn_ref, vn_ref, o_ref, m_ref, l_ref,
+        kp_out, vp_out, None, None, k_buf, v_buf, wb_k, wb_v,
+        sem, wsem, **dict(kw, quant=False, writeback=True),
     )
 
 

@@ -223,3 +223,70 @@ def test_llama_kernel_path_matches_gather_path(monkeypatch):
         np.testing.assert_array_equal(
             g.argmax(-1), k.argmax(-1), err_msg=f"tokens step {step}"
         )
+
+
+def test_writeback_kernel_matches_xla_write():
+    """paged_prefix_attention_update == v2 attention + per-slot XLA dus
+    writes, bit-exact on pools/scales (interpret mode), int8 and bf16."""
+    from bitorch_engine_tpu.ops.pallas.paged_attention import (
+        paged_prefix_attention_update,
+    )
+
+    b, nkv, rs, hd, pages, ps, P = 2, 4, 8, 128, 9, 8, 4
+    for quant in (True, False):
+        ks = jax.random.split(jax.random.PRNGKey(7 + quant), 10)
+        q = jax.random.normal(ks[0], (b, nkv, rs, hd), jnp.float32)
+        if quant:
+            kp0 = jax.random.randint(ks[1], (pages, ps, nkv * hd), -127, 128).astype(jnp.int8)
+            vp0 = jax.random.randint(ks[2], (pages, ps, nkv * hd), -127, 128).astype(jnp.int8)
+            ks0 = jax.random.uniform(ks[3], (pages, ps * nkv), jnp.float32, 0.01, 0.03)
+            vs0 = jax.random.uniform(ks[4], (pages, ps * nkv), jnp.float32, 0.01, 0.03)
+            kn = jax.random.randint(ks[6], (b, nkv * hd), -127, 128).astype(jnp.int8)
+            vn = jax.random.randint(ks[7], (b, nkv * hd), -127, 128).astype(jnp.int8)
+            ksn = jax.random.uniform(ks[8], (b, nkv), jnp.float32, 0.01, 0.03)
+            vsn = jax.random.uniform(ks[9], (b, nkv), jnp.float32, 0.01, 0.03)
+        else:
+            kp0 = jax.random.normal(ks[1], (pages, ps, nkv * hd), jnp.float32)
+            vp0 = jax.random.normal(ks[2], (pages, ps, nkv * hd), jnp.float32)
+            ks0 = vs0 = ksn = vsn = None
+            kn = jax.random.normal(ks[6], (b, nkv * hd), jnp.float32)
+            vn = jax.random.normal(ks[7], (b, nkv * hd), jnp.float32)
+        perm = jax.random.permutation(ks[5], pages - 1)[: b * P] + 1
+        tbl = perm.reshape(b, P).astype(jnp.int32)
+        cl = jnp.asarray([13, 27], jnp.int32)
+        sm = 1.0 / math.sqrt(hd)
+
+        acc0, m0, l0 = paged_prefix_attention(
+            q, kp0, vp0, ks0, vs0, tbl, cl, sm_scale=sm, interpret=True
+        )
+
+        def xla_write(pool, upd, cols):
+            out = pool
+            for i in range(b):
+                pg = tbl[i, cl[i] // ps]
+                if pool.ndim == 3:
+                    out = jax.lax.dynamic_update_slice(
+                        out, upd[i][None, None], (pg, cl[i] % ps, 0)
+                    )
+                else:
+                    out = jax.lax.dynamic_update_slice(
+                        out, upd[i][None], (pg, (cl[i] % ps) * nkv)
+                    )
+            return out
+
+        acc, m, l, kp, vp, ksp, vsp = paged_prefix_attention_update(
+            q, kp0, vp0, ks0, vs0, tbl, cl, kn, vn, ksn, vsn,
+            sm_scale=sm, interpret=True,
+        )
+        np.testing.assert_allclose(acc, acc0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m0))
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(l0))
+        np.testing.assert_array_equal(np.asarray(kp), np.asarray(xla_write(kp0, kn, None)))
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(xla_write(vp0, vn, None)))
+        if quant:
+            np.testing.assert_array_equal(
+                np.asarray(ksp), np.asarray(xla_write(ks0, ksn, None))
+            )
+            np.testing.assert_array_equal(
+                np.asarray(vsp), np.asarray(xla_write(vs0, vsn, None))
+            )
