@@ -327,19 +327,109 @@ def moe_decode():
     return min(d1, d2)
 
 
+def _arm(name, fn, *a, **kw):
+    """Fault isolation: a failing secondary arm must never destroy the
+    headline JSON (round-3 lesson: the paged arm crashed the whole bench
+    and the driver recorded rc=1/parsed=null)."""
+    try:
+        return fn(*a, **kw), None
+    except Exception as e:  # noqa: BLE001 — any arm failure is recorded
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        msg = f"{type(e).__name__}: {e}"
+        print(f"# ARM FAILED {name}: {msg[:200]}", file=sys.stderr, flush=True)
+        return None, msg[:300]
+
+
+def mbwq_decode():
+    """7B MBWQ 2.5-bit decode arm — the reference's headline capability
+    (fewer bits ⇒ more tokens/s in the memory-bound regime; exl2 mixed-bit
+    GEMV ``q_gemm_kernel.cuh:36`` + 2-bit dequant ``qdq_2.cuh:26-51``).
+    llama2-7B, strategy 25% w4 / 75% w2 (avg 2.5 bits), g32, int8 KV, w4
+    head.  BENCH_MBWQ_A8=1 (default) routes w2 segments through the A8
+    int8-MXU quad layout (the round-3 VPU-extract-bound fix); =0 keeps
+    bf16 activations (reference-parity A16W2).  Returns seconds/step.
+    """
+    import functools
+
+    from bitorch_engine_tpu.models.llama import (
+        LlamaModel,
+        init_kv_caches,
+        llama2_7b,
+    )
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
+
+    cfg = llama2_7b(
+        dtype=jnp.bfloat16,
+        mbwq_strategy=((4, 0.25), (2, 0.75)),
+        group_size=32,
+        max_seq_len=CACHE_LEN,
+        kv_cache_dtype="int8",
+        quantize_embed=True,
+        head_w_bit=4,
+        head_pad_to=2048,
+        fuse_qkv=True,
+        fuse_gate_up=True,
+    )
+    model = LlamaModel(cfg)
+    tokens = jnp.zeros((BATCH, 1), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
+    a8 = os.environ.get("BENCH_MBWQ_A8", "1") != "0"
+    params = relayout_params_for_tpu(
+        params, meta_dtype=jnp.bfloat16, act_bits_map={2: 8} if a8 else None
+    )
+    caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_step(params, tok, caches, pos):
+        positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches,
+            cache_len=pos, attn_window=256,
+        )
+        return jnp.argmax(logits[:, -1], -1)[:, None], caches
+
+    tok = jnp.ones((BATCH, 1), jnp.int32)
+    tok, caches = decode_step(params, tok, caches, jnp.asarray(0, jnp.int32))
+    int(tok[0, 0])
+    pos = 1
+
+    def timed(steps, tok, caches, pos):
+        t0 = time.time()
+        for i in range(pos, pos + steps):
+            tok, caches = decode_step(params, tok, caches, jnp.asarray(i, jnp.int32))
+        int(tok[0, 0])
+        return (time.time() - t0) / steps, tok, caches, pos + steps
+
+    _, tok, caches, pos = timed(10, tok, caches, pos)
+    d1, tok, caches, pos = timed(50, tok, caches, pos)
+    d2, tok, caches, pos = timed(50, tok, caches, pos)
+    return min(d1, d2)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     total_q, total_b = projection_sweep(on_tpu)
 
     run_e2e = on_tpu and os.environ.get("BENCH_E2E", "1") != "0"
+    e2e_err = None
     if run_e2e:
         # headline config: 4-bit weights + int8 KV cache + int8 embedding +
         # w4g128 lm_head via the fused kernel (exl2-style head quantization;
         # BENCH_HEAD_BITS=8 falls back to the tied int8 head)
         head_bits = int(os.environ.get("BENCH_HEAD_BITS", "4"))
-        step, kv_window, step_full = e2e_decode(
-            "int8", head_bits if head_bits in (2, 4) else None
+        res, e2e_err = _arm(
+            "e2e_decode",
+            e2e_decode,
+            "int8",
+            head_bits if head_bits in (2, 4) else None,
         )
+        if res is None:
+            run_e2e = False  # fall through to the projected metric
+        else:
+            step, kv_window, step_full = res
+    if run_e2e:
         toks = BATCH / step
         # bf16 baseline: same step with weight-matmul time swapped for bf16
         overhead = max(step - total_q * LAYERS, 0.0)
@@ -391,30 +481,56 @@ def main():
     paged_extra = {}
     if run_e2e and os.environ.get("BENCH_PAGED", "1") != "0":
         print(f"# [{time.strftime('%H:%M:%S')}] paged decode arm ...", file=sys.stderr, flush=True)
-        paged_step = e2e_decode_paged()
-        paged_extra = {
-            "paged_decode_toks_per_s": round(BATCH / paged_step, 2),
-            "paged_vs_dense_ratio": round(paged_step / step, 3),
-        }
-        print(
-            f"# paged decode: {BATCH/paged_step:.1f} tok/s/chip "
-            f"({paged_step/step:.3f}x dense)",
-            file=sys.stderr,
-        )
+        paged_step, err = _arm("e2e_decode_paged", e2e_decode_paged)
+        if paged_step is None:
+            paged_extra = {"paged_error": err}
+        else:
+            paged_extra = {
+                "paged_decode_toks_per_s": round(BATCH / paged_step, 2),
+                "paged_vs_dense_ratio": round(paged_step / step, 3),
+            }
+            print(
+                f"# paged decode: {BATCH/paged_step:.1f} tok/s/chip "
+                f"({paged_step/step:.3f}x dense)",
+                file=sys.stderr,
+            )
 
     # MoE decode arm (driver-tracked regression surface for the MoE family)
     moe_extra = {}
     if run_e2e and os.environ.get("BENCH_MOE", "1") != "0":
         print(f"# [{time.strftime('%H:%M:%S')}] MoE decode arm ...", file=sys.stderr, flush=True)
-        moe_step = moe_decode()
-        moe_extra = {
-            "moe_decode_toks_per_s": round(BATCH / moe_step, 2),
-            "moe_decode_ms_per_step": round(moe_step * 1e3, 2),
-        }
-        print(
-            f"# moe decode: {BATCH/moe_step:.1f} tok/s/chip ({moe_step*1e3:.2f} ms/step)",
-            file=sys.stderr,
-        )
+        moe_step, err = _arm("moe_decode", moe_decode)
+        if moe_step is None:
+            moe_extra = {"moe_error": err}
+        else:
+            moe_extra = {
+                "moe_decode_toks_per_s": round(BATCH / moe_step, 2),
+                "moe_decode_ms_per_step": round(moe_step * 1e3, 2),
+            }
+            print(
+                f"# moe decode: {BATCH/moe_step:.1f} tok/s/chip ({moe_step*1e3:.2f} ms/step)",
+                file=sys.stderr,
+            )
+
+    # MBWQ 2.5-bit decode arm (the reference's mixed-bit headline; now
+    # driver-recorded — round-3 numbers were builder-measured only)
+    mbwq_extra = {}
+    if run_e2e and os.environ.get("BENCH_MBWQ", "1") != "0":
+        print(f"# [{time.strftime('%H:%M:%S')}] MBWQ decode arm ...", file=sys.stderr, flush=True)
+        mbwq_step, err = _arm("mbwq_decode", mbwq_decode)
+        if mbwq_step is None:
+            mbwq_extra = {"mbwq_error": err}
+        else:
+            mbwq_extra = {
+                "mbwq_2p5_decode_toks_per_s": round(BATCH / mbwq_step, 2),
+                "mbwq_2p5_ms_per_step": round(mbwq_step * 1e3, 2),
+                "mbwq_act_bits": 8 if os.environ.get("BENCH_MBWQ_A8", "1") != "0" else 16,
+            }
+            print(
+                f"# mbwq 2.5-bit decode: {BATCH/mbwq_step:.1f} tok/s/chip "
+                f"({mbwq_step*1e3:.2f} ms/step)",
+                file=sys.stderr,
+            )
 
     # full-cache secondary metric (long-context operating point)
     full_extra = {}
@@ -446,8 +562,10 @@ def main():
                     "pct_of_roofline": round(100 * toks / roofline_toks, 1),
                     "ms_per_step": round(1e3 * BATCH / toks, 2),
                     "backend": jax.default_backend(),
+                    **({"e2e_error": e2e_err} if e2e_err else {}),
                     **paged_extra,
                     **moe_extra,
+                    **mbwq_extra,
                     **full_extra,
                 },
             }

@@ -228,4 +228,19 @@ def run_ppl_gate(
     ppl = perplexity(LlamaModel(cfg_q), params_q, tokens)
     out["ppl_w4g64_bf16meta"] = ppl
     out["rel_delta_w4g64_bf16meta"] = (ppl - out["ppl_fp"]) / out["ppl_fp"]
+
+    # A8W2 (int8-MXU) regime: per-token int8 activations on the w2 segments
+    # (act_bits_map={2: 8}).  The XLA fallback simulates the quad kernel's
+    # quantization exactly (ops/mpq_linear.py), so this delta is the real
+    # serving-quality cost of the A8 lever — gated against the A16 variant.
+    for name in ("mbwq_2p5", "w2g32"):
+        cfg_q = quant_cfgs[name]
+        params_q = relayout_params_for_tpu(
+            quantize_llama_params(params_fp, cfg_q),
+            meta_dtype=jnp.bfloat16,
+            act_bits_map={2: 8},
+        )
+        ppl = perplexity(LlamaModel(cfg_q), params_q, tokens)
+        out[f"ppl_{name}_a8"] = ppl
+        out[f"rel_delta_{name}_a8"] = (ppl - out["ppl_fp"]) / out["ppl_fp"]
     return out

@@ -457,7 +457,16 @@ class LlamaAttention(nn.Module):
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
                 if kernel_wb:
-                    new_cache = None  # built by the kernel writeback below
+                    # KV pools are written in-kernel; the tiny scale rows
+                    # are written here in XLA (a single scale row is below
+                    # HBM tile granularity, so the kernel cannot DMA it —
+                    # Mosaic 8-sublane slice rule).  The kernel gathers its
+                    # scale windows from these post-update pools; the
+                    # pos < cache_len mask excludes the new token.
+                    ksp = pool_write(kv_cache.k_scale, ks_new)
+                    vsp = pool_write(kv_cache.v_scale, vs_new)
+                    kv_cache = kv_cache.replace(k_scale=ksp, v_scale=vsp)
+                    new_cache = None  # KV pools built by the kernel below
                 else:
                     kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
                     vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
@@ -710,29 +719,21 @@ class LlamaAttention(nn.Module):
                     paged_prefix_attention_update,
                 )
 
-                acc_p, m_p, l_p, kp2, vp2, ksp2, vsp2 = (
-                    paged_prefix_attention_update(
-                        qk2,
-                        kv_cache.k_pool,
-                        kv_cache.v_pool,
-                        kv_cache.k_scale,
-                        kv_cache.v_scale,
-                        tbl,
-                        cache_len,
-                        k_new.reshape(b, nkv * hd),
-                        v_new.reshape(b, nkv * hd),
-                        None if ks_new is None else ks_new.reshape(b, nkv),
-                        None if vs_new is None else vs_new.reshape(b, nkv),
-                        sm_scale=1.0 / math.sqrt(hd),
-                        interpret=_paged_kernel_mode() == "interpret",
-                    )
+                acc_p, m_p, l_p, kp2, vp2 = paged_prefix_attention_update(
+                    qk2,
+                    kv_cache.k_pool,
+                    kv_cache.v_pool,
+                    kv_cache.k_scale,
+                    kv_cache.v_scale,
+                    tbl,
+                    cache_len,
+                    k_new.reshape(b, nkv * hd),
+                    v_new.reshape(b, nkv * hd),
+                    sm_scale=1.0 / math.sqrt(hd),
+                    interpret=_paged_kernel_mode() == "interpret",
                 )
-                if kv_quant:
-                    new_cache = kv_cache.replace(
-                        k_pool=kp2, v_pool=vp2, k_scale=ksp2, v_scale=vsp2
-                    )
-                else:
-                    new_cache = kv_cache.replace(k_pool=kp2, v_pool=vp2)
+                # scale pools (int8 mode) were already updated in XLA above
+                new_cache = kv_cache.replace(k_pool=kp2, v_pool=vp2)
             else:
                 acc_p, m_p, l_p = paged_prefix_attention(
                     qk2,

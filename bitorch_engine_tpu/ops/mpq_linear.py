@@ -77,6 +77,19 @@ def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
         except NotImplementedError:
             pass
 
+    if qt.act_bits == 8 and m <= MAX_FUSED_ROWS:
+        # A8 decode regime on the XLA path: simulate the quad kernel's
+        # per-token int8 activation quantization exactly (the integer dot
+        # against dequantized weights is algebraically identical to the
+        # kernel's code dot + zeros correction), so CPU tests and the
+        # perplexity gate measure the same numbers the TPU kernel produces.
+        xf = x2d.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+        qx = jnp.round(xf / sx)
+        w = reconstruct_weight(qt, dtype=jnp.float32)
+        out = ((qx @ w) * sx).astype(x.dtype)
+        return out.reshape(*lead, -1)
+
     w = reconstruct_weight(qt, dtype=x.dtype)  # (K, N)
     out = jnp.dot(x2d, w, preferred_element_type=jnp.float32).astype(x.dtype)
     return out.reshape(*lead, -1)

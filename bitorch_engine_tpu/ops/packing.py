@@ -269,10 +269,100 @@ def unpack_rows_tpu_pair(packed: Array, w_bit: int, group_size: int) -> Array:
     return vals.reshape(g * group_size, n).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# TPU quad-byte packing ("tpu_quad"): each 32-bit word carries codes for its
+# FOUR int8 byte slots, so the Pallas A8 kernel extracts FOUR codes per
+# shift+mask (byte-parallel extraction) and feeds the int8 MXU with a single
+# width-changing bitcast — half the VPU extract ops per code of tpu_pair,
+# which is the whole story for the extract-bound w2 path (BENCH_NOTES round
+# 3: paired-lane extracts cap w2 streams at ~377 GB/s on v5e).
+#
+# Packing is per SUPERBLOCK of S = 8/w_bit consecutive quant groups (w2: 4
+# groups, w4: 2, w1: 8), not per group: a group's packed words at small
+# group sizes are only bkp = gs*b/32 sublane rows (w2 g32: TWO of eight —
+# per-group extraction wastes 75% of every VPU op; measured 366 GB/s on
+# v5e vs 303 for pair, round-4 probe).  With superblock tiles the kernel
+# extracts on full (S*bkp >= 8, bn) blocks and ONE concat+bitcast yields
+# all S*gs rows in logical order:
+#     t_j = (words_sb >> j*b) & (m * 0x01010101)     # full-occupancy op
+#     q   = bitcast(concat_j(t_j), int8)             # (S*gs, bn), in order
+# bitcast semantics (Mosaic `pltpu.bitcast` u32→i8): word row i → int8 rows
+# (4i + byte h, little-endian).  Logical row of (tile j, word r, byte h)
+# WITHIN a superblock is therefore j*(4*S*bkp) + 4r + h; tile j spans the
+# contiguous logical rows [j*4*S*bkp, (j+1)*4*S*bkp), an exact whole number
+# of groups — which is what makes the superblock self-contained.  Codes are
+# unbiased (no magic-exponent trick — int8 holds [0, 16) exactly).
+# ---------------------------------------------------------------------------
+
+
+QUAD_BITS = (1, 2, 4)  # codes must fit an int8 byte unbiased; w8 is tiled
+
+
+def quad_superblock_groups(w_bit: int) -> int:
+    """Quant groups per tpu_quad superblock (= ppw/4 = 8/w_bit)."""
+    return 8 // w_bit
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def pack_rows_tpu_quad(q_int: Array, w_bit: int, group_size: int) -> Array:
+    """int codes ``(K, N)`` → int32 ``(K/32*b, N)`` in tpu_quad order.
+
+    Requires the group count ``K/group_size`` to be a multiple of the
+    superblock size ``8/w_bit`` (callers fall back to tpu_pair otherwise).
+    """
+    if w_bit not in QUAD_BITS:
+        raise ValueError(f"tpu_quad layout supports w_bit in {QUAD_BITS}")
+    k, n = q_int.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    S = quad_superblock_groups(w_bit)
+    if (k // group_size) % S != 0:
+        raise ValueError(
+            f"tpu_quad needs group count {k // group_size} divisible by the "
+            f"superblock size {S} (w_bit={w_bit})"
+        )
+    nsb = k // (S * group_size)
+    R = S * bkp  # word rows per superblock
+    # axes: (superblock, tile j, word r, byte h, n)
+    v = q_int.reshape(nsb, ppw // 4, R, 4, n).astype(jnp.uint32)
+    shifts = (
+        (jnp.arange(ppw // 4, dtype=jnp.uint32) * w_bit)[None, :, None, None, None]
+        + (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :, None]
+    )
+    words = jnp.sum(lax.shift_left(v, shifts), axis=(1, 3), dtype=jnp.uint32)
+    return words.reshape(nsb * R, n).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size'))
+def unpack_rows_tpu_quad(packed: Array, w_bit: int, group_size: int) -> Array:
+    """Inverse of :func:`pack_rows_tpu_quad` → int32 (K, N) in logical order."""
+    kw, n = packed.shape
+    ppw = 32 // w_bit
+    bkp = group_size // ppw
+    S = quad_superblock_groups(w_bit)
+    R = S * bkp
+    nsb = kw // R
+    mask = jnp.uint32((1 << w_bit) - 1)
+    words = packed.astype(jnp.uint32).reshape(nsb, 1, R, 1, n)
+    shifts = (
+        (jnp.arange(ppw // 4, dtype=jnp.uint32) * w_bit)[None, :, None, None, None]
+        + (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :, None]
+    )
+    vals = (
+        lax.shift_right_logical(
+            jnp.broadcast_to(words, (nsb, ppw // 4, R, 4, n)), shifts
+        )
+        & mask
+    )
+    return vals.reshape(nsb * S * group_size, n).astype(jnp.int32)
+
+
 def pack_rows_layout(q_int: Array, w_bit: int, group_size: int, layout: str) -> Array:
     """Dispatch packing by :class:`MPQTensor` ``layout`` string."""
     if layout == "tpu_pair":
         return pack_rows_tpu_pair(q_int, w_bit, group_size)
+    if layout == "tpu_quad":
+        return pack_rows_tpu_quad(q_int, w_bit, group_size)
     if layout == "tpu_tiled":
         return pack_rows_tpu_tiled(q_int, w_bit, group_size)
     return pack_rows(q_int, w_bit)
@@ -282,6 +372,8 @@ def unpack_rows_layout(packed: Array, w_bit: int, group_size: int, layout: str) 
     """Dispatch unpacking by :class:`MPQTensor` ``layout`` string."""
     if layout == "tpu_pair":
         return unpack_rows_tpu_pair(packed, w_bit, group_size)
+    if layout == "tpu_quad":
+        return unpack_rows_tpu_quad(packed, w_bit, group_size)
     if layout == "tpu_tiled":
         return unpack_rows_tpu_tiled(packed, w_bit, group_size)
     return unpack_rows(packed, w_bit)

@@ -59,14 +59,19 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
-def _kernel_layout(w_bit: int) -> str:
+def _kernel_layout(w_bit: int, act_bits: int = 16) -> str:
     """Canonical kernel layout per bit width: paired-lane extraction for
     sub-byte codes (two codes per shift+mask+or, bf16 magic-exponent convert),
-    tiled shift-and-concat for 8-bit (codes ≥128 don't fit the bf16 trick)."""
+    tiled shift-and-concat for 8-bit (codes ≥128 don't fit the bf16 trick).
+    A8 regime (act_bits=8): quad-byte extraction feeding the int8 MXU —
+    four codes per shift+mask, the lever that breaks the w2 VPU-extract
+    bound (BENCH_NOTES round 3)."""
+    if act_bits == 8 and w_bit in packing.QUAD_BITS:
+        return "tpu_quad"
     return "tpu_pair" if w_bit in packing.PAIR_BITS else "tpu_tiled"
 
 
-def relayout_tpu(qt: MPQTensor, meta_dtype=None) -> MPQTensor:
+def relayout_tpu(qt: MPQTensor, meta_dtype=None, act_bits=None) -> MPQTensor:
     """Convert to the kernel's canonical form: sym zeros + TPU packing order.
 
     The asym→sym rewrite (``w = s(q-z) = q·s - s·z``) mirrors the reference's
@@ -86,8 +91,20 @@ def relayout_tpu(qt: MPQTensor, meta_dtype=None) -> MPQTensor:
     superset of fp16) where bit-faithful metadata matters more than the
     ~6% byte saving.  The kernel upcasts blocks to f32 before use either
     way.
+
+    ``act_bits``: override the decode-regime activation width (8 selects
+    the A8 int8-MXU layout ``tpu_quad`` for 1/2/4-bit containers).
     """
-    target = _kernel_layout(qt.w_bit)
+    if act_bits is not None and act_bits != qt.act_bits:
+        qt = qt.replace(act_bits=act_bits)
+    if qt.act_bits == 8 and qt.w_bit in packing.QUAD_BITS:
+        # quad packs per superblock of 8/w_bit groups; tensors whose group
+        # count doesn't divide stay on the A16 pair path (consistent math
+        # everywhere beats a mixed regime)
+        S = packing.quad_superblock_groups(qt.w_bit)
+        if (qt.in_features // qt.group_size) % S != 0:
+            qt = qt.replace(act_bits=16)
+    target = _kernel_layout(qt.w_bit, qt.act_bits)
     if qt.layout == target:
         if meta_dtype is not None and qt.scales.dtype != meta_dtype:
             return qt.replace(
@@ -131,6 +148,7 @@ def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
 
     tpu_pair: values come out biased by +128 (see ``_PAIR_MAGIC``); the
     caller compensates via the zeros term.  tpu_tiled: unbiased.
+    (tpu_quad is unpacked whole-K-step by :func:`_unpack_kstep_quad`.)
     """
     ppw = 32 // w_bit
     mask32 = jnp.uint32((1 << w_bit) - 1)
@@ -153,6 +171,35 @@ def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
         for j in range(ppw)
     ]
     return jnp.concatenate(tiles, axis=0).astype(dtype)
+
+
+def _unpack_kstep_quad(packed, w_bit: int, bkp: int):
+    """Whole-K-step tpu_quad unpack: (gpk·bkp, bn) uint32 → (gpk·gs, bn)
+    int8 codes in logical row order.
+
+    The shift+mask ops run on the FULL packed block (full sublane
+    occupancy — the per-group form at small group sizes runs on bkp=2-row
+    slivers at 25% occupancy; measured 366 vs target ~750 GB/s, round-4
+    probe), then one axis-1 concat over the per-superblock tiles and one
+    width-changing bitcast deliver every code.  See
+    ``packing.pack_rows_tpu_quad`` for the layout derivation.
+    """
+    ppw = 32 // w_bit
+    S = 8 // w_bit  # groups per superblock
+    R = S * bkp  # word rows per superblock
+    rows, bn = packed.shape
+    nsb = rows // R
+    qmask = jnp.uint32(((1 << w_bit) - 1) * 0x01010101)
+    tiles = [
+        lax.shift_right_logical(packed, jnp.uint32(j * w_bit)) & qmask
+        for j in range(ppw // 4)
+    ]
+    if nsb == 1:
+        blk = jnp.concatenate(tiles, axis=0)
+    else:
+        t3 = [t.reshape(nsb, R, bn) for t in tiles]
+        blk = jnp.concatenate(t3, axis=1).reshape(nsb * (ppw // 4) * R, bn)
+    return pltpu.bitcast(blk, jnp.int8)  # (gpk·gs, bn) codes in [0, 2^b)
 
 
 def _accumulate_k_step(
@@ -178,12 +225,24 @@ def _accumulate_k_step(
         # compensate the +128 bias the magic-exponent unpack adds to codes
         zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_blk.astype(jnp.uint32)  # (gpk*bkp, bn)
+    q_all = (
+        _unpack_kstep_quad(packed, w_bit, bkp) if layout == "tpu_quad" else None
+    )
     xsums = []
     for g in range(gpk):  # static unroll over groups in this K step
-        words = packed[g * bkp : (g + 1) * bkp, :]
-        q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)  # (gs, bn)
         x_g = x_blk[:, g * group_size : (g + 1) * group_size]  # (bm, gs)
-        contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
+        if layout == "tpu_quad":
+            # A8 regime: int8 activations × int8 codes on the int8 MXU,
+            # exact int32 accumulate; the per-token activation scale is
+            # factored out entirely (applied by the caller on the output)
+            q = q_all[g * group_size : (g + 1) * group_size]  # (gs, bn) i8
+            contrib = jnp.dot(
+                x_g, q, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        else:
+            words = packed[g * bkp : (g + 1) * bkp, :]
+            q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)
+            contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
         scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
         acc = acc + contrib * scale
         xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
@@ -289,7 +348,14 @@ def _pick_tiles(
     bkp = gs // ppw
     g_total = k // gs
     target = k_step_rows or 2048
-    gpk = 1
+    # tpu_quad packs per superblock of S groups; every K step must hold
+    # whole superblocks (see packing.pack_rows_tpu_quad)
+    S = 8 // w_bit if layout == "tpu_quad" else 1
+    if g_total % S != 0:
+        raise NotImplementedError(
+            f"groups {g_total} not divisible by quad superblock {S}"
+        )
+    gpk = S
     while gpk * bkp < 8 or (gpk * gs < target and gpk * 2 <= g_total):
         if g_total % (gpk * 2) != 0:
             break
@@ -332,6 +398,25 @@ def _pick_tiles(
             else:
                 if n <= 16384:
                     bn = n
+    # scoped-VMEM guard: the double-buffered packed block (+ x/meta/acc)
+    # must fit the ~16 MB scoped limit.  N with few 2-power factors takes
+    # the whole-N bn fallback above (e.g. llama2 gate/up N=11008), where a
+    # 2048-row K step is 5.6 MB of packed words alone and Mosaic refuses
+    # the stack allocation (measured on v5e, round-4 probe) — halve the K
+    # step until the estimate fits.
+    def vmem_est(gpk_):
+        xb = bm * gpk_ * gs * (1 if layout == "tpu_quad" else 2)
+        pk = gpk_ * bkp * bn * 4
+        meta = 2 * gpk_ * bn * 4
+        return 2 * (xb + pk + meta) + 2 * bm * bn * 4
+    while vmem_est(gpk) > 12 * 1024 * 1024 and gpk > S and gpk % 2 == 0 \
+            and (gpk // 2) * bkp >= 8 and g_total % (gpk // 2) == 0 \
+            and ((gpk // 2) * gs) % 128 == 0:
+        gpk //= 2
+    if vmem_est(gpk) > 14 * 1024 * 1024:
+        raise NotImplementedError(
+            f"no VMEM-fitting K step for K={k}, N={n} (bn={bn}, gpk={gpk})"
+        )
     return bm, gpk, bn
 
 
@@ -450,6 +535,30 @@ def mpq_matmul_pallas(
         raise NotImplementedError("K mismatch")
     if k % qt.group_size != 0:
         raise NotImplementedError("ragged groups")
+    if qt.layout == "tpu_quad":
+        # A8 regime: dynamic per-token activation quantization.  The
+        # per-row scale sx factors out of both the code dots AND the
+        # zeros correction, so the kernel runs entirely in integer codes
+        # and sx multiplies the f32 output once (beyond-reference; the
+        # reference fixes a_bit=16, mpq_layer.py:160-161).
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+        qx = jnp.round(xf / sx).astype(jnp.int8)
+        out = _mpq_matmul_call(
+            qx,
+            qt.packed,
+            qt.scales,
+            qt.zeros,
+            w_bit=qt.w_bit,
+            group_size=qt.group_size,
+            interpret=interpret,
+            k_step_rows=k_step_rows,
+            block_n=block_n,
+            layout=qt.layout,
+            out_dtype=jnp.float32,
+        )
+        return (out * sx).astype(x.dtype)
     return _mpq_matmul_call(
         x,
         qt.packed,
@@ -489,11 +598,17 @@ def _dequant_kernel(
     if layout == "tpu_pair":
         zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_ref[:].astype(jnp.uint32)
+    q_all = (
+        _unpack_kstep_quad(packed, w_bit, bkp) if layout == "tpu_quad" else None
+    )
     parts = []
     for g in range(gpk):
-        q = _unpack_group_to_dtype(
-            packed[g * bkp : (g + 1) * bkp, :], w_bit, layout, jnp.float32
-        )
+        if layout == "tpu_quad":
+            q = q_all[g * group_size : (g + 1) * group_size].astype(jnp.float32)
+        else:
+            q = _unpack_group_to_dtype(
+                packed[g * bkp : (g + 1) * bkp, :], w_bit, layout, jnp.float32
+            )
         w = q * scales_blk[g : g + 1, :].astype(jnp.float32) - zeros_eff[g : g + 1, :]
         parts.append(w)
     out_ref[:] = jnp.concatenate(parts, axis=0).astype(out_ref.dtype)

@@ -197,6 +197,11 @@ def mbwq_matmul_pallas(
     outside the kernel envelope (caller falls back to per-segment calls).
     """
     segs = [prepare_for_kernel(s) for s in qt.segments]
+    if any(s.layout == "tpu_quad" for s in segs):
+        # A8 segments quantize activations per segment slice; the fused
+        # launch has no per-segment activation-scale plumbing — route
+        # through the per-segment dispatch (which wins e2e anyway).
+        raise NotImplementedError("tpu_quad segments use per-segment calls")
     off = 0
     x_parts = []
     for s in segs:

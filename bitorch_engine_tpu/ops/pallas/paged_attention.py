@@ -69,23 +69,19 @@ def _paged_kernel(
     vpool_ref,
     ks_ref,  # (1, nkv, W) f32 VMEM block (XLA-gathered window scales), or None
     vs_ref,
-    ksrow_ref,  # writeback: (1, ps·nkv) f32 post-update write-page scale row
-    vsrow_ref,
-    kn_ref,  # writeback: (1, nkv·hd) pool-dtype new-token payload
+    kn_ref,  # writeback: (1, 1, nkv·hd) pool-dtype new-token payload
     vn_ref,
     o_ref,  # (1, nkv, rs, hd) f32
     m_ref,  # (1, nkv, rs, 128) f32
     l_ref,
     kp_out,  # aliased pool outputs (pl.ANY) — writeback destinations
     vp_out,
-    ksp_out,
-    vsp_out,
     k_buf,  # (2, P, ps, nkv·hd) VMEM
     v_buf,
     wb_k,  # (ps, nkv·hd) VMEM writeback staging, or None
     wb_v,
     sem,  # DMA sems (2, 2, P)
-    wsem,  # writeback DMA sems (4,), or None
+    wsem,  # writeback DMA sems (2,), or None
     *,
     sm_scale: float,
     nkv: int,
@@ -190,10 +186,12 @@ def _paged_kernel(
         # in VMEM (attention above masked it out via pos < clen); insert the
         # token with a row select and DMA the FULL page back to the pool —
         # page-granular, tile-aligned, rides the kernel (no XLA-side pool
-        # write op exists at all).  Scale rows arrive post-update from XLA
-        # (tiny) and are DMA'd whole.  Slots own disjoint pages, so the
-        # writeback cannot race the next slot's prefetch except on the
-        # inert null page.
+        # write op exists at all).  Scale pools are written by the CALLER in
+        # XLA (their ~1.5%-of-KV rows are below HBM tile granularity: a
+        # single (ps·nkv) f32 row slice of the rank-2 pool fails Mosaic's
+        # 8-sublane HBM slice alignment — round-4 hardware lowering check).
+        # Slots own disjoint pages, so the writeback cannot race the next
+        # slot's prefetch except on the inert null page.
         clen = clen_ref[ib]
         # clamp for memory safety: a caller-contract violation
         # (cache_len >= window) would otherwise index past the table
@@ -203,17 +201,12 @@ def _paged_kernel(
         pg_w = tbl_ref[ib, wp]
         row = lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
         is_row = row == woff
-        wb_k[:] = jnp.where(is_row, kn_ref[0][None, :], k_buf[cur, wp])
-        wb_v[:] = jnp.where(is_row, vn_ref[0][None, :], v_buf[cur, wp])
+        wb_k[:] = jnp.where(is_row, kn_ref[0], k_buf[cur, wp])
+        wb_v[:] = jnp.where(is_row, vn_ref[0], v_buf[cur, wp])
         copies = [
             pltpu.make_async_copy(wb_k, kp_out.at[pg_w], wsem.at[0]),
             pltpu.make_async_copy(wb_v, vp_out.at[pg_w], wsem.at[1]),
         ]
-        if quant:
-            copies += [
-                pltpu.make_async_copy(ksrow_ref.at[0], ksp_out.at[pg_w], wsem.at[2]),
-                pltpu.make_async_copy(vsrow_ref.at[0], vsp_out.at[pg_w], wsem.at[3]),
-            ]
         for c in copies:
             c.start()
         for c in copies:
@@ -325,26 +318,27 @@ def paged_prefix_attention_update(
     cache_len: Array,
     k_new: Array,
     v_new: Array,
-    ks_new: Optional[Array],
-    vs_new: Optional[Array],
     *,
     sm_scale: float,
     interpret: bool = False,
 ):
-    """:func:`paged_prefix_attention` PLUS the decode-step cache write,
+    """:func:`paged_prefix_attention` PLUS the decode-step KV-pool write,
     fused into the same kernel launch via ``input_output_aliases``.
 
-    The new token (``k_new``/``v_new``: (b, nkv·hd) pool dtype, with
-    (b, nkv) fp32 ``ks_new``/``vs_new`` in int8 mode) is inserted into its
-    window page in VMEM and the full page is DMA'd back in place — no
-    XLA-side pool write op exists (the per-slot dus chain is serial in b
-    and the scatter form lowers to while-loop machinery; BENCH_NOTES r3).
-    ``cache_len`` is the write position per slot; the caller contract is
-    ``attn_window > max(cache_len)`` so the write page is inside the
-    window slice of ``page_table``.
+    The new token (``k_new``/``v_new``: (b, nkv·hd) pool dtype) is inserted
+    into its window page in VMEM and the full page is DMA'd back in place —
+    no XLA-side KV-pool write op exists (the per-slot dus chain is serial
+    in b and the scatter form lowers to while-loop machinery; BENCH_NOTES
+    r3).  In int8 mode the caller writes the (tiny) scale-pool rows itself
+    in XLA **before** this call and passes the post-update pools here for
+    the window gather — a single scale row is below HBM tile granularity,
+    so an in-kernel scale DMA cannot lower (Mosaic 8-sublane slice rule;
+    round-4 hardware check).  The attention mask ``pos < cache_len``
+    excludes the new token either way.  ``cache_len`` is the write position
+    per slot; the caller contract is ``attn_window > max(cache_len)`` so
+    the write page is inside the window slice of ``page_table``.
 
-    Returns ``(acc, m, l, k_pool', v_pool', k_scale', v_scale')`` (scale
-    outputs None in bf16 mode).
+    Returns ``(acc, m, l, k_pool', v_pool')``.
     """
     b, nkv, rs, hd = q.shape
     ps = k_pool.shape[1]
@@ -359,7 +353,12 @@ def paged_prefix_attention_update(
         return (ib, 0, 0)
 
     def row_map(ib, tbl, clen):
-        return (ib, 0)
+        # rank-3 (b, 1, X) singleton rows: Mosaic requires the last two
+        # block dims to be (mult of 8, mult of 128) OR equal to the array
+        # dims — a rank-2 (1, X) block over (b, X) violates the
+        # second-minor rule (the round-3 driver-bench crash); the (1, 1, X)
+        # block over (b, 1, X) trivially equals the trailing array dims.
+        return (ib, 0, 0)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [pl.BlockSpec((1, nkv, rs, hd), q_map), any_spec, any_spec]
@@ -370,38 +369,19 @@ def paged_prefix_attention_update(
             g = jnp.take(pool, page_table, axis=0)  # (b, P, ps·nkv)
             return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
 
-        # post-update write-page scale rows, prepared in XLA (tiny): the
-        # in-kernel alternative is an unaligned (nkv·f32) strided DMA
-        wp = jnp.minimum(cache_len // ps, P - 1)
-        woff = cache_len % ps
-        pg_w = jnp.take_along_axis(page_table, wp[:, None], axis=1)[:, 0]
-
-        def upd_row(row, sc, o):
-            return lax.dynamic_update_slice(row, sc, (o * nkv,))
-
-        ksrow = jax.vmap(upd_row)(k_scale[pg_w], ks_new.astype(jnp.float32), woff)
-        vsrow = jax.vmap(upd_row)(v_scale[pg_w], vs_new.astype(jnp.float32), woff)
         in_specs += [
-            any_spec,
-            any_spec,
             pl.BlockSpec((1, nkv, P * ps), sc_map),
             pl.BlockSpec((1, nkv, P * ps), sc_map),
-            pl.BlockSpec((1, ps * nkv), row_map),
-            pl.BlockSpec((1, ps * nkv), row_map),
         ]
-        operands += [
-            k_scale,
-            v_scale,
-            gather_scale(k_scale),
-            gather_scale(v_scale),
-            ksrow,
-            vsrow,
-        ]
+        operands += [gather_scale(k_scale), gather_scale(v_scale)]
     in_specs += [
-        pl.BlockSpec((1, nkv * hd), row_map),
-        pl.BlockSpec((1, nkv * hd), row_map),
+        pl.BlockSpec((1, 1, nkv * hd), row_map),
+        pl.BlockSpec((1, 1, nkv * hd), row_map),
     ]
-    operands += [k_new.astype(k_pool.dtype), v_new.astype(v_pool.dtype)]
+    operands += [
+        k_new.astype(k_pool.dtype)[:, None, :],
+        v_new.astype(v_pool.dtype)[:, None, :],
+    ]
 
     kern = functools.partial(
         _paged_kernel_quant_wb if quant else _paged_kernel_noscale_wb,
@@ -414,7 +394,7 @@ def paged_prefix_attention_update(
         pltpu.VMEM((ps, nkv * hd), pool_dt),
         pltpu.VMEM((ps, nkv * hd), pool_dt),
         pltpu.SemaphoreType.DMA((2, 2, P)),
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, nkv, rs, hd), jnp.float32),
@@ -431,16 +411,8 @@ def paged_prefix_attention_update(
         any_spec,
     ]
     # flattened-input indices include the two scalar-prefetch operands:
-    # 0=tbl 1=clen 2=q 3=k_pool 4=v_pool [5=k_scale 6=v_scale ...]
-    if quant:
-        aliases = {3: 3, 4: 4, 5: 5, 6: 6}
-        out_shape += [
-            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
-        ]
-        out_specs += [any_spec, any_spec]
-    else:
-        aliases = {3: 3, 4: 4}
+    # 0=tbl 1=clen 2=q 3=k_pool 4=v_pool — the pools alias outputs 3/4
+    aliases = {3: 3, 4: 4}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -459,11 +431,8 @@ def paged_prefix_attention_update(
         input_output_aliases=aliases,
         interpret=interpret,
     )(page_table.astype(jnp.int32), cache_len, *operands)
-    if quant:
-        acc, m, l, kp, vp, ksp, vsp = outs
-        return acc, m, l, kp, vp, ksp, vsp
     acc, m, l, kp, vp = outs
-    return acc, m, l, kp, vp, None, None
+    return acc, m, l, kp, vp
 
 
 def _paged_kernel_noscale(
@@ -472,8 +441,8 @@ def _paged_kernel_noscale(
 ):
     _paged_kernel(
         tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, None, None,
-        None, None, None, None, o_ref, m_ref, l_ref,
-        None, None, None, None, k_buf, v_buf, None, None, sem, None,
+        None, None, o_ref, m_ref, l_ref,
+        None, None, k_buf, v_buf, None, None, sem, None,
         **dict(kw, quant=False, writeback=False),
     )
 
@@ -484,25 +453,21 @@ def _paged_kernel_quant(
 ):
     _paged_kernel(
         tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
-        None, None, None, None, o_ref, m_ref, l_ref,
-        None, None, None, None, k_buf, v_buf, None, None, sem, None,
+        None, None, o_ref, m_ref, l_ref,
+        None, None, k_buf, v_buf, None, None, sem, None,
         **dict(kw, quant=True, writeback=False),
     )
 
 
 def _paged_kernel_quant_wb(
-    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, kspool_ref, vspool_ref,
-    ks_ref, vs_ref, ksrow_ref, vsrow_ref, kn_ref, vn_ref,
-    o_ref, m_ref, l_ref, kp_out, vp_out, ksp_out, vsp_out,
+    tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
+    kn_ref, vn_ref, o_ref, m_ref, l_ref, kp_out, vp_out,
     k_buf, v_buf, wb_k, wb_v, sem, wsem, **kw,
 ):
-    # kspool_ref/vspool_ref are alias SOURCES only (scale windows arrive
-    # pre-gathered in ks_ref/vs_ref; the kernel writes ksp_out/vsp_out)
-    del kspool_ref, vspool_ref
     _paged_kernel(
         tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, ks_ref, vs_ref,
-        ksrow_ref, vsrow_ref, kn_ref, vn_ref, o_ref, m_ref, l_ref,
-        kp_out, vp_out, ksp_out, vsp_out, k_buf, v_buf, wb_k, wb_v,
+        kn_ref, vn_ref, o_ref, m_ref, l_ref,
+        kp_out, vp_out, k_buf, v_buf, wb_k, wb_v,
         sem, wsem, **dict(kw, quant=True, writeback=True),
     )
 
@@ -514,8 +479,8 @@ def _paged_kernel_noscale_wb(
 ):
     _paged_kernel(
         tbl_ref, clen_ref, q_ref, kpool_ref, vpool_ref, None, None,
-        None, None, kn_ref, vn_ref, o_ref, m_ref, l_ref,
-        kp_out, vp_out, None, None, k_buf, v_buf, wb_k, wb_v,
+        kn_ref, vn_ref, o_ref, m_ref, l_ref,
+        kp_out, vp_out, k_buf, v_buf, wb_k, wb_v,
         sem, wsem, **dict(kw, quant=False, writeback=True),
     )
 

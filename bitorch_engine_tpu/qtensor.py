@@ -166,8 +166,18 @@ class MPQTensor(QTensorBase):
     # shift-and-concat unpack yields rows in order with zero relayout;
     # "tpu_pair" (1/2/4-bit) = codes split across the two 16-bit halves of
     # each word so the kernel extracts two codes per shift+mask+or directly
-    # into bf16 magic-exponent form (see ops/pallas/dequant_matmul.py).
+    # into bf16 magic-exponent form (see ops/pallas/dequant_matmul.py);
+    # "tpu_quad" (1/2/4-bit, A8 regime) = codes split across the four int8
+    # byte slots of each word so the kernel extracts FOUR codes per
+    # shift+mask and feeds the int8 MXU — half the VPU extract ops per
+    # code of tpu_pair (the w2 decode bottleneck, BENCH_NOTES round 3).
     layout: str = struct.field(pytree_node=False, default="gptq")
+    # Decode-regime activation width: 16 = bf16 activations (reference
+    # parity, a_bit=16 fixed per mpq_layer.py:160-161); 8 = dynamic
+    # per-token int8 activation quantization feeding the int8 MXU (beyond
+    # reference — quality-gated by tools/ppl_gate.py).  Prefill/training
+    # regimes always use fp activations regardless.
+    act_bits: int = struct.field(pytree_node=False, default=16)
 
     @property
     def in_features(self) -> int:

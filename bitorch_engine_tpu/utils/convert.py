@@ -93,7 +93,7 @@ def prepare_for_training(params):
     )
 
 
-def relayout_params_for_tpu(params, meta_dtype=None):
+def relayout_params_for_tpu(params, meta_dtype=None, act_bits_map=None):
     """Convert every MPQ/MBWQ tensor to the Pallas kernel's tpu_tiled layout.
 
     MUST run once at load/prepare time (the analogue of the reference's
@@ -104,19 +104,25 @@ def relayout_params_for_tpu(params, meta_dtype=None):
     ``meta_dtype=jnp.bfloat16`` stores group scales/zeros 16-bit (the
     reference's exl2/GPTQ storage width), halving the per-token metadata
     stream — see :func:`relayout_tpu`.
+
+    ``act_bits_map``: optional ``{container_w_bit: act_bits}`` selecting the
+    decode-regime activation width per stored container width, e.g.
+    ``{2: 8}`` routes every 2-bit tensor/segment through the A8 int8-MXU
+    quad layout (the w2 VPU-extract-bound fix, BENCH_NOTES round 3/4).
     """
     from ..ops.pallas.dequant_matmul import relayout_tpu
     from ..qtensor import MBWQTensor, MPQTensor
 
+    abm = act_bits_map or {}
+
+    def rl(s):
+        return relayout_tpu(s, meta_dtype=meta_dtype, act_bits=abm.get(s.w_bit))
+
     def f(leaf):
         if isinstance(leaf, MPQTensor):
-            return relayout_tpu(leaf, meta_dtype=meta_dtype)
+            return rl(leaf)
         if isinstance(leaf, MBWQTensor):
-            return leaf.replace(
-                segments=tuple(
-                    relayout_tpu(s, meta_dtype=meta_dtype) for s in leaf.segments
-                )
-            )
+            return leaf.replace(segments=tuple(rl(s) for s in leaf.segments))
         return leaf
 
     return jax.tree_util.tree_map(

@@ -119,7 +119,46 @@ def test_pack_rows_tpu_pair_halves_layout():
 def test_pack_rows_layout_dispatch():
     rng = np.random.default_rng(5)
     q = rng.integers(0, 16, size=(128, 32)).astype(np.int32)
-    for layout in ("gptq", "tpu_tiled", "tpu_pair"):
+    for layout in ("gptq", "tpu_tiled", "tpu_pair", "tpu_quad"):
         p = packing.pack_rows_layout(jnp.asarray(q), 4, 64, layout)
         back = np.asarray(packing.unpack_rows_layout(p, 4, 64, layout))
         np.testing.assert_array_equal(back, q)
+
+
+@pytest.mark.parametrize("w_bit", [1, 2, 4])
+def test_pack_rows_tpu_quad_roundtrip(w_bit):
+    rng = np.random.default_rng(23)
+    k, n, gs = 512, 96, 32  # group count 16: divisible by every superblock
+    q = rng.integers(0, 2**w_bit, size=(k, n)).astype(np.int32)
+    packed = packing.pack_rows_tpu_quad(jnp.asarray(q), w_bit, gs)
+    assert packed.shape == (k * w_bit // 32, n)
+    back = np.asarray(packing.unpack_rows_tpu_quad(packed, w_bit, gs))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_pack_rows_tpu_quad_rejects_partial_superblock():
+    q = jnp.zeros((64, 32), jnp.int32)  # 2 groups of 32 < superblock of 4
+    with pytest.raises(ValueError):
+        packing.pack_rows_tpu_quad(q, 2, 32)
+
+
+def test_pack_rows_tpu_quad_byte_layout():
+    """Word bit layout: code of logical row (tile j, word r, byte h) within a
+    superblock lives at bits [8h + w_bit*j, ...) of word r — the order
+    pltpu.bitcast(u32→i8) unpacks (word row i → int8 rows 4i + h,
+    little-endian)."""
+    w_bit, gs = 2, 32  # S=4 groups/superblock, bkp=2 → R=8 words, 128 rows
+    q = np.zeros((128, 1), dtype=np.int32)
+    q[0, 0] = 0x1  # tile 0, word 0, byte 0 → word 0 bits [0:2)
+    q[1, 0] = 0x2  # tile 0, word 0, byte 1 → word 0 bits [8:10)
+    q[3, 0] = 0x3  # tile 0, word 0, byte 3 → word 0 bits [24:26)
+    q[4, 0] = 0x1  # tile 0, word 1, byte 0 → word 1 bits [0:2)
+    q[32, 0] = 0x2  # tile 1 (rows 32+), word 0, byte 0 → word 0 bits [2:4)
+    packed = np.asarray(packing.pack_rows_tpu_quad(jnp.asarray(q), w_bit, gs))
+    w0 = packed[0, 0].astype(np.uint32)
+    w1 = packed[1, 0].astype(np.uint32)
+    assert w0 & 0x3 == 0x1
+    assert (w0 >> 8) & 0x3 == 0x2
+    assert (w0 >> 24) & 0x3 == 0x3
+    assert (w0 >> 2) & 0x3 == 0x2
+    assert w1 & 0x3 == 0x1

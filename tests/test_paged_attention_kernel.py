@@ -274,8 +274,13 @@ def test_writeback_kernel_matches_xla_write():
                     )
             return out
 
-        acc, m, l, kp, vp, ksp, vsp = paged_prefix_attention_update(
-            q, kp0, vp0, ks0, vs0, tbl, cl, kn, vn, ksn, vsn,
+        # int8 mode: the caller writes the scale-pool rows in XLA first and
+        # passes the post-update pools for the window gather (the kernel's
+        # pos < cache_len mask excludes the new position either way)
+        ks1 = xla_write(ks0, ksn, None) if quant else None
+        vs1 = xla_write(vs0, vsn, None) if quant else None
+        acc, m, l, kp, vp = paged_prefix_attention_update(
+            q, kp0, vp0, ks1, vs1, tbl, cl, kn, vn,
             sm_scale=sm, interpret=True,
         )
         np.testing.assert_allclose(acc, acc0, rtol=1e-6, atol=1e-6)
@@ -283,10 +288,3 @@ def test_writeback_kernel_matches_xla_write():
         np.testing.assert_array_equal(np.asarray(l), np.asarray(l0))
         np.testing.assert_array_equal(np.asarray(kp), np.asarray(xla_write(kp0, kn, None)))
         np.testing.assert_array_equal(np.asarray(vp), np.asarray(xla_write(vp0, vn, None)))
-        if quant:
-            np.testing.assert_array_equal(
-                np.asarray(ksp), np.asarray(xla_write(ks0, ksn, None))
-            )
-            np.testing.assert_array_equal(
-                np.asarray(vsp), np.asarray(xla_write(vs0, vsn, None))
-            )

@@ -75,6 +75,57 @@ def test_kernel_llm_shape_bf16():
     )
 
 
+@pytest.mark.parametrize("w_bit,gs", [(1, 32), (2, 32), (2, 64), (4, 128)])
+@pytest.mark.parametrize("m", [1, 8])
+def test_kernel_a8_quad_matches_quantized_reference(w_bit, gs, m):
+    """A8 regime (act_bits=8, tpu_quad layout): the int8-MXU kernel must
+    match the explicit reference — quantize activations per token, matmul
+    against the XLA-dequantized weight, re-apply the activation scale.
+    The integer dot is exact, so the only rounding is the final f32→bf16."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    k, n = 512, 256
+    x, qt = _mk(m, k, n, gs, w_bit, dtype=jnp.bfloat16)
+    qt8 = relayout_tpu(qt, act_bits=8)
+    assert qt8.layout == "tpu_quad" and qt8.act_bits == 8
+    out = mpq_matmul_pallas(x, qt8, interpret=True)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    qx = jnp.round(xf / sx)
+    ref = (qx @ quant.dequantize_mpq(qt, dtype=jnp.float32)) * sx
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_kernel_a8_quality_vs_fp_activations():
+    """A8 activation quantization must stay close to the fp-activation
+    product (per-token int8 on smooth activations: sub-1% relative error)."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    x, qt = _mk(8, 512, 256, 32, 2, dtype=jnp.bfloat16)
+    qt8 = relayout_tpu(qt, act_bits=8)
+    out = np.asarray(mpq_matmul_pallas(x, qt8, interpret=True), np.float32)
+    full = np.asarray(
+        x.astype(jnp.float32) @ quant.dequantize_mpq(qt, dtype=jnp.float32)
+    )
+    rel = np.abs(out - full).max() / (np.abs(full).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_relayout_pair_to_quad_and_back():
+    """Layout conversions preserve the dequantized weight exactly."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    _, qt = _mk(1, 256, 128, 32, 2)
+    qp = relayout_tpu(qt)  # tpu_pair
+    qq = relayout_tpu(qp, act_bits=8)  # pair → quad repack
+    assert qp.layout == "tpu_pair" and qq.layout == "tpu_quad"
+    w0 = np.asarray(quant.dequantize_mpq(qt, dtype=jnp.float32))
+    wq = np.asarray(quant.dequantize_mpq(qq, dtype=jnp.float32))
+    np.testing.assert_allclose(wq, w0, rtol=1e-6, atol=1e-7)
+
+
 def test_kernel_q_perm_gathers_activations():
     rng = np.random.default_rng(3)
     k, n, gs = 256, 128, 64

@@ -53,5 +53,15 @@ assert out["rel_delta_w4g64"] < out["rel_delta_w2g32"], "w4 !< w2"
 assert (
     out["rel_delta_mbwq_2p5"] < out["rel_delta_w2g32"] + 0.01
 ), "mbwq2.5 exceeds w2 beyond the noise band"
+# A8 regime: per-token int8 activations must cost at most a 1% noise band
+# over the A16 variant of the same weights (it is the default serving path
+# for w2 segments — bench.py BENCH_MBWQ_A8)
+assert (
+    out["rel_delta_mbwq_2p5_a8"] < out["rel_delta_mbwq_2p5"] + 0.01
+), "A8 activations exceed the noise band over A16 (mbwq2.5)"
+assert (
+    out["rel_delta_w2g32_a8"] < out["rel_delta_w2g32"] + 0.01
+), "A8 activations exceed the noise band over A16 (w2g32)"
 print("PPL GATE PASSED: w4 delta "
-      f"{100*out['rel_delta_w4g64']:.2f}% < 5%; w4 < mbwq2.5 ~ w2")
+      f"{100*out['rel_delta_w4g64']:.2f}% < 5%; w4 < mbwq2.5 ~ w2; "
+      f"A8 delta +{100*(out['rel_delta_mbwq_2p5_a8']-out['rel_delta_mbwq_2p5']):.2f}% vs A16")
