@@ -259,6 +259,78 @@ def e2e_decode_paged():
     return min(timed(50), timed(50))
 
 
+def b64_paged_vs_dense():
+    """Batch-64 decode, dense vs paged (the round-3 b64 cliff: 1.55× dense
+    with per-slot grid steps; the slot-batched kernel is the fix — VERDICT
+    item 3 target ≤1.25).  Returns (dense_s, paged_s) seconds/step at a
+    fixed 256 window."""
+    import functools
+    import gc
+
+    from bitorch_engine_tpu.models.llama import (
+        LlamaModel,
+        init_kv_caches,
+        llama3_8b,
+    )
+    from bitorch_engine_tpu.models.paged_kv import (
+        PageAllocator,
+        init_paged_kv_caches,
+    )
+    from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
+
+    batch = 64
+    page_size = 64
+    cfg = llama3_8b(
+        dtype=jnp.bfloat16, w_bit=W_BIT, group_size=GROUP,
+        max_seq_len=CACHE_LEN, kv_cache_dtype="int8", quantize_embed=True,
+        head_w_bit=4, head_pad_to=2048, fuse_qkv=True, fuse_gate_up=True,
+    )
+    model = LlamaModel(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((batch, 1), jnp.int32))
+    params = relayout_params_for_tpu(params, meta_dtype=jnp.bfloat16)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(params, tok, caches, pos):
+        positions = jnp.broadcast_to(pos, (batch, 1)).astype(jnp.int32)
+        logits, caches = model.apply(
+            params, tok, positions=positions, kv_caches=caches,
+            cache_len=pos, attn_window=256,
+        )
+        return jnp.argmax(logits[:, -1], -1)[:, None], caches
+
+    def run(caches):
+        tok = jnp.ones((batch, 1), jnp.int32)
+        tok, caches = step(params, tok, caches, jnp.asarray(0, jnp.int32))
+        int(tok[0, 0])
+        pos = 1
+
+        def timed(steps):
+            nonlocal tok, caches, pos
+            t0 = time.time()
+            for i in range(pos, pos + steps):
+                tok, caches = step(params, tok, caches, jnp.asarray(i, jnp.int32))
+            int(tok[0, 0])
+            pos += steps
+            return (time.time() - t0) / steps
+
+        timed(10)
+        dt = min(timed(40), timed(40))
+        del caches
+        return dt
+
+    dense_s = run(init_kv_caches(cfg, batch, CACHE_LEN))
+    gc.collect()
+    pps = CACHE_LEN // page_size
+    alloc = PageAllocator(batch * pps + 1, page_size, batch, pps)
+    for slot in range(batch):
+        assert alloc.alloc(slot, CACHE_LEN)
+    caches = init_paged_kv_caches(cfg, batch * pps + 1, page_size, batch, pps)
+    tbl = jnp.asarray(alloc.table)
+    caches = [c.replace(page_table=tbl + 0) for c in caches]
+    paged_s = run(caches)
+    return dense_s, paged_s
+
+
 def moe_decode():
     """MoE model-family decode arm (regression surface for the Mixtral path).
 
@@ -371,6 +443,10 @@ def mbwq_decode():
         head_pad_to=2048,
         fuse_qkv=True,
         fuse_gate_up=True,
+        # gate|up N=22016 = 512·43 only admits 512-wide kernel N-blocks
+        # (~240 GB/s); padding to 22528 unlocks 2048-wide (~420) for 2.3%
+        # extra bytes (BENCH_MBWQ_PAD=0 disables)
+        proj_pad_to=0 if os.environ.get("BENCH_MBWQ_PAD", "1") == "0" else 2048,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
@@ -482,16 +558,60 @@ def main():
     if run_e2e and os.environ.get("BENCH_PAGED", "1") != "0":
         print(f"# [{time.strftime('%H:%M:%S')}] paged decode arm ...", file=sys.stderr, flush=True)
         paged_step, err = _arm("e2e_decode_paged", e2e_decode_paged)
+        # on-chip numerics gate: paged-kernel logits vs dense over 64 forced
+        # steps (tokens may diverge, logits must not drift — VERDICT r3 wp7)
+        def _gate():
+            from tools.paged_gate import run_paged_logits_gate
+
+            return run_paged_logits_gate(steps=64)
+
+        gate, gerr = _arm("paged_logits_gate", _gate)
+        gate_extra = (
+            {"paged_gate_error": gerr}
+            if gate is None
+            else {
+                "paged_gate_max_rel": round(gate["max_rel"], 5),
+                "paged_gate_ok": gate["ok"],
+            }
+        )
+        if gate is not None:
+            print(
+                f"# paged logits gate: max rel {gate['max_rel']:.2e} over "
+                f"{gate['steps']} steps (tol {gate['tol']}) -> "
+                f"{'OK' if gate['ok'] else 'DRIFT'}",
+                file=sys.stderr,
+            )
         if paged_step is None:
-            paged_extra = {"paged_error": err}
+            paged_extra = {"paged_error": err, **gate_extra}
         else:
             paged_extra = {
                 "paged_decode_toks_per_s": round(BATCH / paged_step, 2),
                 "paged_vs_dense_ratio": round(paged_step / step, 3),
+                **gate_extra,
             }
             print(
                 f"# paged decode: {BATCH/paged_step:.1f} tok/s/chip "
                 f"({paged_step/step:.3f}x dense)",
+                file=sys.stderr,
+            )
+
+    # batch-64 paged-vs-dense arm (round-3 cliff regression surface)
+    b64_extra = {}
+    if run_e2e and os.environ.get("BENCH_PAGED_B64", "1") != "0":
+        print(f"# [{time.strftime('%H:%M:%S')}] b64 paged/dense arm ...", file=sys.stderr, flush=True)
+        res, err = _arm("b64_paged_vs_dense", b64_paged_vs_dense)
+        if res is None:
+            b64_extra = {"b64_error": err}
+        else:
+            d64, p64 = res
+            b64_extra = {
+                "b64_dense_toks_per_s": round(64 / d64, 2),
+                "b64_paged_toks_per_s": round(64 / p64, 2),
+                "b64_paged_vs_dense_ratio": round(p64 / d64, 3),
+            }
+            print(
+                f"# b64: dense {64/d64:.0f} tok/s, paged {64/p64:.0f} "
+                f"({p64/d64:.3f}x dense)",
                 file=sys.stderr,
             )
 
@@ -564,6 +684,7 @@ def main():
                     "backend": jax.default_backend(),
                     **({"e2e_error": e2e_err} if e2e_err else {}),
                     **paged_extra,
+                    **b64_extra,
                     **moe_extra,
                     **mbwq_extra,
                     **full_extra,

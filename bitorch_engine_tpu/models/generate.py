@@ -177,6 +177,21 @@ class ContinuousBatcher:
         dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
         if mesh is not None and num_slots % dp:
             raise ValueError(f"num_slots {num_slots} not divisible by dp {dp}")
+        # Multi-process world (jax.distributed): the mesh spans processes,
+        # so (a) host arrays become global arrays via
+        # make_array_from_callback (device_put can't target non-addressable
+        # devices), (b) sampled tokens are constrained REPLICATED so every
+        # process fetches identical values and the host-side bookkeeping —
+        # queue, slots, allocator — stays in deterministic lockstep (the
+        # BASELINE "continuous batching across hosts" control model: each
+        # host runs the same engine, data-parallel shards live where their
+        # dp group is).
+        self._mp = mesh is not None and jax.process_count() > 1
+        self._rep = None
+        if self._mp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._rep = NamedSharding(mesh, P())
         self.paged = kv_pages is not None
         if self.paged:
             if max_len % kv_page_size:
@@ -199,17 +214,25 @@ class ContinuousBatcher:
 
             from .llama_sharding import kv_cache_shardings, paged_kv_shardings
 
-            if self.paged:
-                self.caches = jax.device_put(
-                    self.caches, paged_kv_shardings(mesh, self.caches)
+            cache_sh = (
+                paged_kv_shardings(mesh, self.caches)
+                if self.paged
+                else kv_cache_shardings(
+                    mesh, self.cfg.num_layers, self.cfg.kv_cache_dtype
+                )
+            )
+            if self._mp:
+                # every process constructs identical (deterministic) caches
+                # and contributes its addressable shards
+                self.caches = jax.tree_util.tree_map(
+                    lambda a, s: jax.make_array_from_callback(
+                        a.shape, s, lambda idx, a=a: np.asarray(a)[idx]
+                    ),
+                    self.caches,
+                    cache_sh,
                 )
             else:
-                self.caches = jax.device_put(
-                    self.caches,
-                    kv_cache_shardings(
-                        mesh, self.cfg.num_layers, self.cfg.kv_cache_dtype
-                    ),
-                )
+                self.caches = jax.device_put(self.caches, cache_sh)
             self._tok_sharding = NamedSharding(mesh, P("dp", None))
             self._vec_sharding = NamedSharding(mesh, P("dp"))
             self._table_sharding = NamedSharding(mesh, P("dp", None))
@@ -225,6 +248,15 @@ class ContinuousBatcher:
 
         cfg = self.cfg
         model_ = self.model
+        rep_ = self._rep  # non-None only in the multi-process world
+
+        def _rep_out(x):
+            # replicate token-ish outputs across processes so every host
+            # fetches identical values (one tiny all-gather; no-op when
+            # rep_ is None)
+            if rep_ is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, rep_)
 
         # donate_argnums(caches): without donation XLA materializes a full
         # copy of every KV pool per step to produce the new caches — on a
@@ -250,10 +282,14 @@ class ContinuousBatcher:
             key, sub = jax.random.split(key)
             nxt = sample_token(logits[:, -1], sub, temperature)
             nxt = jnp.where(active_mask, nxt, 0)
-            return nxt, caches, key
+            return _rep_out(nxt), caches, key
 
         self._decode = _decode
-        self._key = jax.random.PRNGKey(0)
+        self._key = (
+            self._put(np.asarray(jax.random.PRNGKey(0)), self._rep)
+            if self._mp
+            else jax.random.PRNGKey(0)
+        )
         max_len_ = max_len
 
         @functools.partial(
@@ -288,7 +324,7 @@ class ContinuousBatcher:
             (toks, caches, positions, key), toks_seq = jax.lax.scan(
                 body, (toks, caches, positions, key), None, length=n_steps
             )
-            return toks_seq, caches, positions, key
+            return _rep_out(toks_seq), caches, positions, key
 
         self._decode_chunk = _decode_chunk
 
@@ -322,7 +358,7 @@ class ContinuousBatcher:
             last = jnp.take_along_axis(
                 logits, (true_lens - 1)[:, None, None], axis=1
             )[:, 0]
-            return last, new_caches
+            return _rep_out(last), new_caches
 
         self._prefill_slots = _prefill_slots
 
@@ -348,7 +384,7 @@ class ContinuousBatcher:
             last = jnp.take_along_axis(
                 logits, (true_lens - 1)[:, None, None], axis=1
             )[:, 0]
-            return last, new_caches
+            return _rep_out(last), new_caches
 
         self._prefill_slots_paged = _prefill_slots_paged
 
@@ -386,7 +422,7 @@ class ContinuousBatcher:
             picked = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             inrange = (true_lens - 1 >= base) & (true_lens - 1 < base + C)
             last = jnp.where(inrange[:, None], picked, last)
-            return last, new_caches
+            return _rep_out(last), new_caches
 
         self._prefill_chunk_slots = _prefill_chunk_slots
 
@@ -416,14 +452,26 @@ class ContinuousBatcher:
             picked = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             inrange = (true_lens - 1 >= base) & (true_lens - 1 < base + C)
             last = jnp.where(inrange[:, None], picked, last)
-            return last, new_caches
+            return _rep_out(last), new_caches
 
         self._prefill_chunk_paged = _prefill_chunk_paged
 
     def _put(self, arr, sharding):
         if sharding is None:
             return jnp.asarray(arr)
-        return jax.device_put(np.asarray(arr), sharding)
+        a = np.asarray(arr)
+        if self._mp:
+            return jax.make_array_from_callback(
+                a.shape, sharding, lambda idx: a[idx]
+            )
+        return jax.device_put(a, sharding)
+
+    def _local(self, arr):
+        """Host-fetch an output: replicated global arrays in the
+        multi-process world, plain arrays otherwise."""
+        if self._mp:
+            return np.asarray(jax.device_get(arr.addressable_data(0)))
+        return np.asarray(arr)
 
     def _caches_in(self):
         """Caches as passed to the jitted step: in paged mode, attach the
@@ -505,19 +553,19 @@ class ContinuousBatcher:
                 logits, self.caches = self._prefill_slots_paged(
                     self.params,
                     self.caches,
-                    jnp.asarray(padded),
-                    jnp.asarray(self.allocator.table[slots]),
-                    jnp.asarray(true_lens),
+                    self._put(padded, self._rep),
+                    self._put(self.allocator.table[slots], self._rep),
+                    self._put(true_lens, self._rep),
                 )
             else:
                 logits, self.caches = self._prefill_slots(
                     self.params,
                     self.caches,
-                    jnp.asarray(padded),
-                    jnp.asarray(slots, jnp.int32),
-                    jnp.asarray(true_lens),
+                    self._put(padded, self._rep),
+                    self._put(np.asarray(slots, np.int32), self._rep),
+                    self._put(true_lens, self._rep),
                 )
-            nxt_np = np.asarray(jnp.argmax(logits, -1))
+            nxt_np = self._local(jnp.argmax(logits, -1))
             for i, (s, req) in enumerate(zip(slots, batch)):
                 nxt = int(nxt_np[i])
                 req.generated.append(nxt)
@@ -538,9 +586,12 @@ class ContinuousBatcher:
         C = self.prefill_chunk
         n, bucket = padded.shape
         tl = self._put(true_lens, self._vec_sharding)
-        last = jnp.zeros((n, self.cfg.vocab_size), jnp.float32)
-        if self._tok_sharding is not None:
-            last = jax.device_put(last, self._tok_sharding)
+        last = self._put(
+            np.zeros((n, self.cfg.vocab_size), np.float32),
+            self._rep if self._mp else self._tok_sharding,
+        ) if (self._tok_sharding is not None or self._mp) else jnp.zeros(
+            (n, self.cfg.vocab_size), jnp.float32
+        )
         table_rows = (
             self._put(self.allocator.table[slots], self._table_sharding)
             if self.paged
@@ -591,7 +642,7 @@ class ContinuousBatcher:
             self._key,
             window=window,
         )
-        nxt_np = np.asarray(nxt)
+        nxt_np = self._local(nxt)
         for s, req in enumerate(self.active):
             if req is None:
                 continue
@@ -626,7 +677,7 @@ class ContinuousBatcher:
             n_steps=n_steps,
             window=self._window(int(self.positions.max()) + n_steps),
         )
-        toks_np = np.asarray(toks_seq)  # (n_steps, slots)
+        toks_np = self._local(toks_seq)  # (n_steps, slots)
         for s, req in enumerate(self.active):
             if req is None:
                 continue

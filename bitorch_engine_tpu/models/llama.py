@@ -105,6 +105,13 @@ class LlamaConfig:
     # N-blocks; padding to 131072 unlocks 1024+ blocks for ~1% extra bytes.
     # Logits are sliced back to vocab_size.
     head_pad_to: int = struct.field(pytree_node=False, default=0)
+    # Pad quantized projection out-features up to a multiple of this
+    # (0 = off), slicing outputs back to the logical width — the
+    # projection-level analogue of head_pad_to.  N with few 2-power factors
+    # (llama2 gate|up: 11008 / fused 22016 = 512·43) only admits 256/512-
+    # wide kernel N-blocks, which stream at ~240 GB/s vs ~420 for 2048-wide
+    # (v5e round-4 probe); +2.3% pad bytes buys the wide blocks.
+    proj_pad_to: int = struct.field(pytree_node=False, default=0)
     # Fused projections: one packed tensor (and one kernel launch) for
     # q|k|v and for gate|up.  Small-N matmuls waste bandwidth (k/v at
     # N=1024 stream ~336 GB/s vs ~615 at N≥4096 on v5e), so fusing is the
@@ -253,7 +260,23 @@ def _apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     ).astype(x.dtype)
 
 
+def dataclasses_replace_pad(cfg: LlamaConfig) -> LlamaConfig:
+    """cfg with proj_pad_to cleared (prevents infinite recursion in _proj)."""
+    return cfg.replace(proj_pad_to=0)
+
+
 def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False):
+    if (
+        cfg.quantized
+        and cfg.proj_pad_to
+        and out_features % cfg.proj_pad_to
+        and not use_bias
+    ):
+        n_pad = -(-out_features // cfg.proj_pad_to) * cfg.proj_pad_to
+        inner = _proj(
+            dataclasses_replace_pad(cfg), n_pad, name, use_bias=False
+        )
+        return lambda x: inner(x)[..., :out_features]
     if cfg.quantized and cfg.mbwq_strategy is not None:
         from ..layers.linear import MBWQLinear
 

@@ -173,33 +173,37 @@ def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
     return jnp.concatenate(tiles, axis=0).astype(dtype)
 
 
-def _unpack_kstep_quad(packed, w_bit: int, bkp: int):
-    """Whole-K-step tpu_quad unpack: (gpk·bkp, bn) uint32 → (gpk·gs, bn)
-    int8 codes in logical row order.
+def _unpack_kstep_quad_tiles(packed, w_bit: int):
+    """Whole-K-step tpu_quad unpack, zero-copy form: (gpk·bkp, bn) uint32 →
+    list of ``8/w_bit`` int8 tile arrays, each (gpk·gs·w_bit/8, bn).
 
     The shift+mask ops run on the FULL packed block (full sublane
     occupancy — the per-group form at small group sizes runs on bkp=2-row
     slivers at 25% occupancy; measured 366 vs target ~750 GB/s, round-4
-    probe), then one axis-1 concat over the per-superblock tiles and one
-    width-changing bitcast deliver every code.  See
-    ``packing.pack_rows_tpu_quad`` for the layout derivation.
+    probe).  A (superblock, tile) pair covers EXACTLY one quant group
+    (4·S·bkp = gs identically), so group ``g``'s codes are the rows
+    ``[(g//S)·gs, (g//S+1)·gs)`` of tile ``g % S`` — per-group access is a
+    tile-aligned slice and the concat materialization of the whole
+    unpacked block (measured ~9 µs on the 8192×4096 w2 K-steps, round-4
+    ablation) never happens.  See ``packing.pack_rows_tpu_quad`` for the
+    layout derivation.
     """
     ppw = 32 // w_bit
-    S = 8 // w_bit  # groups per superblock
-    R = S * bkp  # word rows per superblock
-    rows, bn = packed.shape
-    nsb = rows // R
     qmask = jnp.uint32(((1 << w_bit) - 1) * 0x01010101)
-    tiles = [
-        lax.shift_right_logical(packed, jnp.uint32(j * w_bit)) & qmask
+    return [
+        pltpu.bitcast(
+            lax.shift_right_logical(packed, jnp.uint32(j * w_bit)) & qmask,
+            jnp.int8,
+        )
         for j in range(ppw // 4)
     ]
-    if nsb == 1:
-        blk = jnp.concatenate(tiles, axis=0)
-    else:
-        t3 = [t.reshape(nsb, R, bn) for t in tiles]
-        blk = jnp.concatenate(t3, axis=1).reshape(nsb * (ppw // 4) * R, bn)
-    return pltpu.bitcast(blk, jnp.int8)  # (gpk·gs, bn) codes in [0, 2^b)
+
+
+def _quad_group(q_tiles, g: int, w_bit: int, group_size: int):
+    """Group ``g``'s (gs, bn) int8 codes from the tile list."""
+    S = 8 // w_bit
+    sb = g // S
+    return q_tiles[g % S][sb * group_size : (sb + 1) * group_size]
 
 
 def _accumulate_k_step(
@@ -213,11 +217,17 @@ def _accumulate_k_step(
     group_size: int,
     gpk: int,
     layout: str,
+    xsums_blk=None,
 ):
     """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
     dot each against its activation slice, apply group-factored scales and
     the batched zeros correction.  Shared by the grid and multi-segment
-    (MBWQ) kernels."""
+    (MBWQ) kernels.
+
+    ``xsums_blk``: optional precomputed (bm, gpk) per-group activation sums
+    (the A8 path computes them in XLA outside the kernel — integer sums are
+    order-exact, and the in-kernel per-group reduce+concat measured ~4.7 µs
+    on the 8192×4096 w2 g32 K-steps, round-4 ablation)."""
     ppw = 32 // w_bit
     bkp = group_size // ppw
     zeros_eff = zeros_blk.astype(jnp.float32)
@@ -225,8 +235,8 @@ def _accumulate_k_step(
         # compensate the +128 bias the magic-exponent unpack adds to codes
         zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_blk.astype(jnp.uint32)  # (gpk*bkp, bn)
-    q_all = (
-        _unpack_kstep_quad(packed, w_bit, bkp) if layout == "tpu_quad" else None
+    q_tiles = (
+        _unpack_kstep_quad_tiles(packed, w_bit) if layout == "tpu_quad" else None
     )
     xsums = []
     for g in range(gpk):  # static unroll over groups in this K step
@@ -235,7 +245,7 @@ def _accumulate_k_step(
             # A8 regime: int8 activations × int8 codes on the int8 MXU,
             # exact int32 accumulate; the per-token activation scale is
             # factored out entirely (applied by the caller on the output)
-            q = q_all[g * group_size : (g + 1) * group_size]  # (gs, bn) i8
+            q = _quad_group(q_tiles, g, w_bit, group_size)  # (gs, bn) i8
             contrib = jnp.dot(
                 x_g, q, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
@@ -245,7 +255,8 @@ def _accumulate_k_step(
             contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
         scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
         acc = acc + contrib * scale
-        xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
+        if xsums_blk is None:
+            xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
     # zeros term, batched into ONE MXU op across the K step's groups:
     #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
     # precision=HIGHEST is load-bearing: at default precision the MXU
@@ -254,7 +265,11 @@ def _accumulate_k_step(
     # signal — bf16 truncation there showed up as 10–73% end error on
     # hardware (interpret mode computes f32 and hid it).  The dot is
     # (bm, gpk)·(gpk, bn) — tiny, so the multi-pass cost is noise.
-    xsums_mat = jnp.concatenate(xsums, axis=1)  # (bm, gpk)
+    xsums_mat = (
+        xsums_blk.astype(jnp.float32)
+        if xsums_blk is not None
+        else jnp.concatenate(xsums, axis=1)
+    )  # (bm, gpk)
     return acc - jnp.dot(
         xsums_mat,
         zeros_eff,
@@ -268,16 +283,20 @@ def _mpq_kernel(
     packed_ref,
     scales_ref,
     zeros_ref,
-    out_ref,
-    acc_ref,
-    *,
+    *rest,
     w_bit: int,
     group_size: int,
     gpk: int,
     nk: int,
     meta3d: bool,
     layout: str = "tpu_tiled",
+    has_xsums: bool = False,
 ):
+    if has_xsums:
+        xsums_ref, out_ref, acc_ref = rest
+    else:
+        xsums_ref = None
+        out_ref, acc_ref = rest
     i_k = pl.program_id(2)
 
     @pl.when(i_k == 0)
@@ -300,6 +319,7 @@ def _mpq_kernel(
         group_size=group_size,
         gpk=gpk,
         layout=layout,
+        xsums_blk=None if xsums_ref is None else xsums_ref[0],
     )
 
     @pl.when(i_k == nk - 1)
@@ -328,6 +348,16 @@ _PAIR_TILE_TABLE = {
     (4096, 128256, 4): (4096, 256),  # unpadded llama3 head: 614 vs 461
 }
 
+# v5e-tuned tiles for the A8 tpu_quad layout (round-4 probe-3 sweep, m=8,
+# bf16 metadata; tools/autotune_tiles.py --layout quad regenerates for new
+# chips/shapes).  Shapes: llama2-7B MBWQ-2.5 w2 segments (fused serving).
+_QUAD_TILE_TABLE = {
+    (3072, 4096, 2): (3072, 2048),   # o-proj w2 segment: 330 GB/s
+    (3072, 12288, 2): (3072, 4096),  # fused qkv w2 segment: 442 GB/s
+    (8192, 4096, 2): (4096, 1024),   # down w2 segment: 388 GB/s
+    (4096, 4096, 2): (2048, 1024),   # uniform-w2 q/o proj: 367 GB/s
+}
+
 
 def _pick_tiles(
     m: int, k: int, n: int, w_bit: int, gs: int,
@@ -336,14 +366,15 @@ def _pick_tiles(
 ):
     """(bm, gpk, bn): groups-per-K-step sized so the packed block has ≥ 8
     sublane rows and ~≥ `k_step_rows` logical K rows for MXU efficiency."""
+    table = {"tpu_pair": _PAIR_TILE_TABLE, "tpu_quad": _QUAD_TILE_TABLE}.get(layout)
     if (
-        layout == "tpu_pair"
+        table is not None
         and k_step_rows is None
         and block_n is None
         and m <= 8
-        and (k, n, w_bit) in _PAIR_TILE_TABLE
+        and (k, n, w_bit) in table
     ):
-        k_step_rows, block_n = _PAIR_TILE_TABLE[(k, n, w_bit)]
+        k_step_rows, block_n = table[(k, n, w_bit)]
     ppw = 32 // w_bit
     bkp = gs // ppw
     g_total = k // gs
@@ -463,20 +494,40 @@ def _mpq_matmul_call(
         zeros_in = zeros
         meta_spec = pl.BlockSpec((gpk, bn), lambda im, i_n, i_k: (i_k, i_n))
 
+    has_xsums = layout == "tpu_quad"
     kernel = functools.partial(
         _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
-        layout=layout,
+        layout=layout, has_xsums=has_xsums,
     )
+
+    in_specs = [
+        pl.BlockSpec((bm, gpk * gs), lambda im, i_n, i_k: (im, i_k)),
+        pl.BlockSpec((gpk * bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
+        meta_spec,
+        meta_spec,
+    ]
+    operands = [x, packed, scales_in, zeros_in]
+    if has_xsums:
+        # A8: per-group activation sums precomputed in XLA (order-exact
+        # integer sums; the in-kernel reduce+concat measured ~4.7 µs per
+        # 8192×4096 call, round-4 ablation).  Rank-3 (nk, m_pad, gpk) so
+        # the block's trailing dims equal the array dims (Mosaic rule).
+        xs = (
+            x.astype(jnp.int32)
+            .reshape(m_pad, nk, gpk, gs)
+            .sum(-1)
+            .astype(jnp.float32)
+            .transpose(1, 0, 2)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bm, gpk), lambda im, i_n, i_k: (i_k, im, 0))
+        )
+        operands.append(xs)
 
     out = pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, gpk * gs), lambda im, i_n, i_k: (im, i_k)),
-            pl.BlockSpec((gpk * bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
-            meta_spec,
-            meta_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda im, i_n, i_k: (im, i_n)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -486,7 +537,7 @@ def _mpq_matmul_call(
         # NB: no pl.CostEstimate — measured on v5e it pessimizes the grid
         # pipeline by ~20% (16.4us vs 13.5us on the 4096^2 w4 GEMV)
         interpret=interpret,
-    )(x, packed, scales_in, zeros_in)
+    )(*operands)
     if m_pad != m:
         out = out[:m]
     return out
@@ -598,13 +649,13 @@ def _dequant_kernel(
     if layout == "tpu_pair":
         zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_ref[:].astype(jnp.uint32)
-    q_all = (
-        _unpack_kstep_quad(packed, w_bit, bkp) if layout == "tpu_quad" else None
+    q_tiles = (
+        _unpack_kstep_quad_tiles(packed, w_bit) if layout == "tpu_quad" else None
     )
     parts = []
     for g in range(gpk):
         if layout == "tpu_quad":
-            q = q_all[g * group_size : (g + 1) * group_size].astype(jnp.float32)
+            q = _quad_group(q_tiles, g, w_bit, group_size).astype(jnp.float32)
         else:
             q = _unpack_group_to_dtype(
                 packed[g * bkp : (g + 1) * bkp, :], w_bit, layout, jnp.float32

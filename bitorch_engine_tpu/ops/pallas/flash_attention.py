@@ -127,6 +127,13 @@ def _fwd_call(q, k, v, *, causal, sm_scale, bq, bk, interpret):
         return (i, j, 0)
 
     def kv_map(i, j, kk):
+        if causal:
+            # clamp masked (strictly-upper) steps to the last visible KV
+            # tile: consecutive grid steps with equal block indices skip
+            # the DMA, so upper-triangle K/V bytes never stream (the
+            # round-3 kernel only skipped the COMPUTE via pl.when) —
+            # ~2× less KV traffic at long s.  bq == bk ⇒ last tile = j.
+            return (i // rep, jnp.minimum(kk, j), 0)
         return (i // rep, kk, 0)
 
     kernel = functools.partial(
@@ -292,6 +299,10 @@ def _bwd_call(q, k, v, out, lse, do, *, causal, sm_scale, bq, bk, interpret):
         return (i, j, 0)
 
     def kv_map(i, j, kk):
+        if causal:
+            # same masked-step clamp as the forward (skips upper-triangle
+            # K/V DMAs; see _fwd_call.kv_map)
+            return (i // rep, jnp.minimum(kk, j), 0)
         return (i // rep, kk, 0)
 
     def stat_map(i, j, kk):
@@ -326,11 +337,17 @@ def _bwd_call(q, k, v, out, lse, do, *, causal, sm_scale, bq, bk, interpret):
     def kv_self_map(i, kk, t):
         return (i, kk, 0)
 
+    def _jq(kk, t):
+        # masked steps (jq < kk never contribute under causality) clamp to
+        # the first visible Q tile of this KV tile: equal consecutive block
+        # indices skip the q/do/stat DMAs for the skipped lower-t steps
+        return jnp.maximum(t % nq, kk) if causal else t % nq
+
     def q_group_map(i, kk, t):
-        return (i * rep + t // nq, t % nq, 0)
+        return (i * rep + t // nq, _jq(kk, t), 0)
 
     def stat_group_map(i, kk, t):
-        return (i * rep + t // nq, t % nq, 0)
+        return (i * rep + t // nq, _jq(kk, t), 0)
 
     dkv_kernel = functools.partial(
         _dkv_kernel, sm_scale=sm_scale, bq=bq, bk=bk, nq=nq, rep=rep,

@@ -64,24 +64,24 @@ _MASK = -1e30
 def _paged_kernel(
     tbl_ref,  # scalar prefetch: (b, P) int32 page table slice
     clen_ref,  # scalar prefetch: (b,) int32 valid prefix length
-    q_ref,  # (1, nkv, rs, hd) VMEM block
+    q_ref,  # (SB, nkv, rs, hd) VMEM block
     kpool_ref,  # (pages, ps, nkv·hd) in HBM (pl.ANY)
     vpool_ref,
-    ks_ref,  # (1, nkv, W) f32 VMEM block (XLA-gathered window scales), or None
+    ks_ref,  # (SB, nkv, W) f32 VMEM block (XLA-gathered window scales), or None
     vs_ref,
-    kn_ref,  # writeback: (1, 1, nkv·hd) pool-dtype new-token payload
+    kn_ref,  # writeback: (SB, 1, nkv·hd) pool-dtype new-token payload
     vn_ref,
-    o_ref,  # (1, nkv, rs, hd) f32
-    m_ref,  # (1, nkv, rs, 128) f32
+    o_ref,  # (SB, nkv, rs, hd) f32
+    m_ref,  # (SB, nkv, rs, 128) f32
     l_ref,
     kp_out,  # aliased pool outputs (pl.ANY) — writeback destinations
     vp_out,
-    k_buf,  # (2, P, ps, nkv·hd) VMEM
+    k_buf,  # (2, SB, P, ps, nkv·hd) VMEM
     v_buf,
-    wb_k,  # (ps, nkv·hd) VMEM writeback staging, or None
+    wb_k,  # (SB, ps, nkv·hd) VMEM writeback staging, or None
     wb_v,
-    sem,  # DMA sems (2, 2, P)
-    wsem,  # writeback DMA sems (2,), or None
+    sem,  # DMA sems (2, SB, 2, P)
+    wsem,  # writeback DMA sems (SB, 2), or None
     *,
     sm_scale: float,
     nkv: int,
@@ -89,25 +89,26 @@ def _paged_kernel(
     ps: int,
     P: int,
     nb: int,
+    SB: int,
     quant: bool,
     writeback: bool,
 ):
     ib = pl.program_id(0)
     W = P * ps
 
-    def dmas(st, t):
-        """All page copies for slot ``t`` into buffer set ``st``."""
+    def dmas(st, u, t):
+        """All page copies for slot ``t`` into buffer set ``st`` lane ``u``."""
         out = []
         for p in range(P):
             pg = tbl_ref[t, p]
             out.append(
                 pltpu.make_async_copy(
-                    kpool_ref.at[pg], k_buf.at[st, p], sem.at[st, 0, p]
+                    kpool_ref.at[pg], k_buf.at[st, u, p], sem.at[st, u, 0, p]
                 )
             )
             out.append(
                 pltpu.make_async_copy(
-                    vpool_ref.at[pg], v_buf.at[st, p], sem.at[st, 1, p]
+                    vpool_ref.at[pg], v_buf.at[st, u, p], sem.at[st, u, 1, p]
                 )
             )
         return out
@@ -117,100 +118,132 @@ def _paged_kernel(
 
     @pl.when(ib == 0)
     def _warmup():
-        for d in dmas(cur, ib):
-            d.start()
+        for u in range(SB):
+            for d in dmas(cur, u, ib * SB + u):
+                d.start()
 
     @pl.when(ib + 1 < nb)
     def _prefetch():
-        t = jnp.minimum(ib + 1, nb - 1)
-        for d in dmas(nxt, t):
-            d.start()
+        for u in range(SB):
+            t = jnp.minimum((ib + 1) * SB + u, nb * SB - 1)
+            for d in dmas(nxt, u, t):
+                d.start()
 
-    for d in dmas(cur, ib):
-        d.wait()
-
-    # whole-window compute: per-head MXU dots, but ALL the vector work
-    # (scale fold, mask, max, exp, sum) batched over one (nkv·rs, W)
-    # block — per-head (rs, W) vector ops at rs=4 waste 8× issue slots
     hd = q_ref.shape[-1]
     dtype = q_ref.dtype
-    pos = lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    valid = pos < clen_ref[ib]
-    validf = valid.astype(jnp.float32)
+    wb_pending = []
 
-    s_parts = []
-    for g in range(nkv):
-        q_g = q_ref[0, g]  # (rs, hd)
-        # 128-aligned minor slice of the flattened head axis
-        k_g = k_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
-        s_parts.append(
-            lax.dot_general(
-                q_g,
-                k_g.astype(dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    for u in range(SB):  # static unroll over the step's slots
+        t = ib * SB + u
+        for d in dmas(cur, u, t):
+            d.wait()
+
+        pos = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        valid = pos < clen_ref[t]
+        validf = valid.astype(jnp.float32)
+
+        s_parts = []
+        for g in range(nkv):
+            q_g = q_ref[u, g]  # (rs, hd)
+            # 128-aligned minor slice of the flattened head axis
+            k_g = k_buf[cur, u, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
+            s_parts.append(
+                lax.dot_general(
+                    q_g,
+                    k_g.astype(dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
-    s = jnp.concatenate(s_parts, axis=0) * sm_scale  # (nkv·rs, W)
-    if quant:
-        # per-position k scales factor out of the hd contraction
-        ks = jnp.broadcast_to(
-            ks_ref[0].reshape(nkv, 1, W), (nkv, rs, W)
-        ).reshape(nkv * rs, W)
-        s = s * ks
-    s = jnp.where(valid, s, _MASK)
-    m = jnp.max(s, axis=1, keepdims=True)  # (nkv·rs, 1)
-    p = jnp.exp(s - m) * validf
-    l = jnp.sum(p, axis=1, keepdims=True)
-    if quant:
-        # v scales factor out of the W contraction
-        vs = jnp.broadcast_to(
-            vs_ref[0].reshape(nkv, 1, W), (nkv, rs, W)
-        ).reshape(nkv * rs, W)
-        p = p * vs
-    pv = p.astype(dtype)
-    for g in range(nkv):
-        v_g = v_buf[cur, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
-        o_ref[0, g] = lax.dot_general(
-            pv[g * rs : (g + 1) * rs],
-            v_g.astype(dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (rs, hd)
-    m_ref[0] = jnp.broadcast_to(m.reshape(nkv, rs, 1), (nkv, rs, _LANES))
-    l_ref[0] = jnp.broadcast_to(l.reshape(nkv, rs, 1), (nkv, rs, _LANES))
+        s = jnp.concatenate(s_parts, axis=0) * sm_scale  # (nkv·rs, W)
+        if quant:
+            # per-position k scales factor out of the hd contraction
+            ks = jnp.broadcast_to(
+                ks_ref[u].reshape(nkv, 1, W), (nkv, rs, W)
+            ).reshape(nkv * rs, W)
+            s = s * ks
+        s = jnp.where(valid, s, _MASK)
+        m = jnp.max(s, axis=1, keepdims=True)  # (nkv·rs, 1)
+        p = jnp.exp(s - m) * validf
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            # v scales factor out of the W contraction
+            vs = jnp.broadcast_to(
+                vs_ref[u].reshape(nkv, 1, W), (nkv, rs, W)
+            ).reshape(nkv * rs, W)
+            p = p * vs
+        pv = p.astype(dtype)
+        for g in range(nkv):
+            v_g = v_buf[cur, u, :, :, g * hd : (g + 1) * hd].reshape(W, hd)
+            o_ref[u, g] = lax.dot_general(
+                pv[g * rs : (g + 1) * rs],
+                v_g.astype(dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rs, hd)
+        m_ref[u] = jnp.broadcast_to(m.reshape(nkv, rs, 1), (nkv, rs, _LANES))
+        l_ref[u] = jnp.broadcast_to(l.reshape(nkv, rs, 1), (nkv, rs, _LANES))
+
+        if writeback:
+            # In-place decode write: the token at position clen lands in
+            # window page wp = clen // ps at row woff = clen % ps.  The page
+            # is already in VMEM (attention above masked it out via pos <
+            # clen); insert the token with a row select and DMA the FULL
+            # page back to the pool — page-granular, tile-aligned, rides
+            # the kernel (no XLA-side pool write op exists at all).  Scale
+            # pools are written by the CALLER in XLA (their ~1.5%-of-KV
+            # rows are below HBM tile granularity: a single (ps·nkv) f32
+            # row slice of the rank-2 pool fails Mosaic's 8-sublane HBM
+            # slice alignment — round-4 hardware lowering check).  Slots
+            # own disjoint pages, so the writeback cannot race another
+            # slot's prefetch except on the inert null page.
+            clen = clen_ref[t]
+            # clamp for memory safety: a caller-contract violation
+            # (cache_len >= window) would otherwise index past the table
+            # slice; the violation itself is already NaN-poisoned upstream
+            wp = jnp.minimum(clen // ps, P - 1)
+            woff = lax.rem(clen, ps)
+            pg_w = tbl_ref[t, wp]
+            row = lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
+            is_row = row == woff
+            wb_k[u] = jnp.where(is_row, kn_ref[u], k_buf[cur, u, wp])
+            wb_v[u] = jnp.where(is_row, vn_ref[u], v_buf[cur, u, wp])
+            copies = [
+                pltpu.make_async_copy(wb_k.at[u], kp_out.at[pg_w], wsem.at[u, 0]),
+                pltpu.make_async_copy(wb_v.at[u], vp_out.at[pg_w], wsem.at[u, 1]),
+            ]
+            for c in copies:
+                c.start()
+            wb_pending.extend(copies)
 
     if writeback:
-        # In-place decode write: the token at position clen lands in window
-        # page wp = clen // ps at row woff = clen % ps.  The page is already
-        # in VMEM (attention above masked it out via pos < clen); insert the
-        # token with a row select and DMA the FULL page back to the pool —
-        # page-granular, tile-aligned, rides the kernel (no XLA-side pool
-        # write op exists at all).  Scale pools are written by the CALLER in
-        # XLA (their ~1.5%-of-KV rows are below HBM tile granularity: a
-        # single (ps·nkv) f32 row slice of the rank-2 pool fails Mosaic's
-        # 8-sublane HBM slice alignment — round-4 hardware lowering check).
-        # Slots own disjoint pages, so the writeback cannot race the next
-        # slot's prefetch except on the inert null page.
-        clen = clen_ref[ib]
-        # clamp for memory safety: a caller-contract violation
-        # (cache_len >= window) would otherwise index past the table
-        # slice; the violation itself is already NaN-poisoned upstream
-        wp = jnp.minimum(clen // ps, P - 1)
-        woff = lax.rem(clen, ps)
-        pg_w = tbl_ref[ib, wp]
-        row = lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
-        is_row = row == woff
-        wb_k[:] = jnp.where(is_row, kn_ref[0], k_buf[cur, wp])
-        wb_v[:] = jnp.where(is_row, vn_ref[0], v_buf[cur, wp])
-        copies = [
-            pltpu.make_async_copy(wb_k, kp_out.at[pg_w], wsem.at[0]),
-            pltpu.make_async_copy(wb_v, vp_out.at[pg_w], wsem.at[1]),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
+        # drain every slot's writeback before the grid step retires (the
+        # staging buffers are reused next step)
+        for c in wb_pending:
             c.wait()
+
+
+def _pick_sb(b: int, P: int, ps: int, nkv: int, hd: int, itemsize: int) -> int:
+    """Slots per grid step: largest divisor of b whose double-buffered page
+    buffers fit a ~10 MB VMEM budget.  Per-slot grid steps stop amortizing
+    past ~16 slots (round-3 b64 cliff: 1.55× dense); batching SB slots per
+    step cuts grid overhead SB× and keeps 2·SB·P page DMAs in flight.
+    ``BITORCH_PAGED_SB`` overrides."""
+    import os
+
+    env = os.environ.get("BITORCH_PAGED_SB")
+    if env:
+        return max(1, min(int(env), b))
+    per_slot = 2 * 2 * P * ps * nkv * hd * itemsize  # k+v, two buffer sets
+    # v5e A/B (round-4 probe, int8 pools, W=256): b8 wants SB=b (one grid
+    # step, all DMAs in flight: 8.4 vs 11.2 µs at SB=1); b64 wants SB=4
+    # (42.2 vs 45.2 at SB=8 / 48.1 at SB=1 — deeper grids pipeline better
+    # than giant steps once there are many steps anyway)
+    cands = (8, 4, 2) if b <= 8 else (4, 8, 2)
+    for cand in cands:
+        if b % cand == 0 and per_slot * cand <= 10 * 1024 * 1024:
+            return cand
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -242,6 +275,7 @@ def paged_prefix_attention(
     P = page_table.shape[1]
     quant = k_scale is not None
     cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (b,))
+    SB = _pick_sb(b, P, ps, nkv, hd, k_pool.dtype.itemsize)
 
     def q_map(ib, tbl, clen):
         return (ib, 0, 0, 0)
@@ -251,7 +285,7 @@ def paged_prefix_attention(
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
-        pl.BlockSpec((1, nkv, rs, hd), q_map),
+        pl.BlockSpec((SB, nkv, rs, hd), q_map),
         any_spec,
         any_spec,
     ]
@@ -264,30 +298,30 @@ def paged_prefix_attention(
             return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
 
         in_specs += [
-            pl.BlockSpec((1, nkv, P * ps), sc_map),
-            pl.BlockSpec((1, nkv, P * ps), sc_map),
+            pl.BlockSpec((SB, nkv, P * ps), sc_map),
+            pl.BlockSpec((SB, nkv, P * ps), sc_map),
         ]
         operands += [gather_scale(k_scale), gather_scale(v_scale)]
 
     kern = functools.partial(
         _paged_kernel_quant if quant else _paged_kernel_noscale,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b // SB, SB=SB,
     )
     pool_dt = k_pool.dtype
     scratch = [
-        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
-        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
-        pltpu.SemaphoreType.DMA((2, 2, P)),
+        pltpu.VMEM((2, SB, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((2, SB, P, ps, nkv * hd), pool_dt),
+        pltpu.SemaphoreType.DMA((2, SB, 2, P)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // SB,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, nkv, rs, hd), q_map),
-            pl.BlockSpec((1, nkv, rs, _LANES), q_map),
-            pl.BlockSpec((1, nkv, rs, _LANES), q_map),
+            pl.BlockSpec((SB, nkv, rs, hd), q_map),
+            pl.BlockSpec((SB, nkv, rs, _LANES), q_map),
+            pl.BlockSpec((SB, nkv, rs, _LANES), q_map),
         ],
         scratch_shapes=scratch,
     )
@@ -345,6 +379,7 @@ def paged_prefix_attention_update(
     P = page_table.shape[1]
     quant = k_scale is not None
     cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (b,))
+    SB = _pick_sb(b, P, ps, nkv, hd, k_pool.dtype.itemsize)
 
     def q_map(ib, tbl, clen):
         return (ib, 0, 0, 0)
@@ -355,13 +390,14 @@ def paged_prefix_attention_update(
     def row_map(ib, tbl, clen):
         # rank-3 (b, 1, X) singleton rows: Mosaic requires the last two
         # block dims to be (mult of 8, mult of 128) OR equal to the array
-        # dims — a rank-2 (1, X) block over (b, X) violates the
-        # second-minor rule (the round-3 driver-bench crash); the (1, 1, X)
-        # block over (b, 1, X) trivially equals the trailing array dims.
+        # dims — a rank-2 (SB, X) block over (b, X) violates the
+        # second-minor rule (the round-3 driver-bench crash); the
+        # (SB, 1, X) block over (b, 1, X) trivially equals the trailing
+        # array dims.
         return (ib, 0, 0)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = [pl.BlockSpec((1, nkv, rs, hd), q_map), any_spec, any_spec]
+    in_specs = [pl.BlockSpec((SB, nkv, rs, hd), q_map), any_spec, any_spec]
     operands = [q, k_pool, v_pool]
     if quant:
 
@@ -370,13 +406,13 @@ def paged_prefix_attention_update(
             return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
 
         in_specs += [
-            pl.BlockSpec((1, nkv, P * ps), sc_map),
-            pl.BlockSpec((1, nkv, P * ps), sc_map),
+            pl.BlockSpec((SB, nkv, P * ps), sc_map),
+            pl.BlockSpec((SB, nkv, P * ps), sc_map),
         ]
         operands += [gather_scale(k_scale), gather_scale(v_scale)]
     in_specs += [
-        pl.BlockSpec((1, 1, nkv * hd), row_map),
-        pl.BlockSpec((1, 1, nkv * hd), row_map),
+        pl.BlockSpec((SB, 1, nkv * hd), row_map),
+        pl.BlockSpec((SB, 1, nkv * hd), row_map),
     ]
     operands += [
         k_new.astype(k_pool.dtype)[:, None, :],
@@ -385,16 +421,16 @@ def paged_prefix_attention_update(
 
     kern = functools.partial(
         _paged_kernel_quant_wb if quant else _paged_kernel_noscale_wb,
-        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b,
+        sm_scale=sm_scale, nkv=nkv, rs=rs, ps=ps, P=P, nb=b // SB, SB=SB,
     )
     pool_dt = k_pool.dtype
     scratch = [
-        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
-        pltpu.VMEM((2, P, ps, nkv * hd), pool_dt),
-        pltpu.VMEM((ps, nkv * hd), pool_dt),
-        pltpu.VMEM((ps, nkv * hd), pool_dt),
-        pltpu.SemaphoreType.DMA((2, 2, P)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((2, SB, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((2, SB, P, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((SB, ps, nkv * hd), pool_dt),
+        pltpu.VMEM((SB, ps, nkv * hd), pool_dt),
+        pltpu.SemaphoreType.DMA((2, SB, 2, P)),
+        pltpu.SemaphoreType.DMA((SB, 2)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, nkv, rs, hd), jnp.float32),
@@ -404,9 +440,9 @@ def paged_prefix_attention_update(
         jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
     ]
     out_specs = [
-        pl.BlockSpec((1, nkv, rs, hd), q_map),
-        pl.BlockSpec((1, nkv, rs, _LANES), q_map),
-        pl.BlockSpec((1, nkv, rs, _LANES), q_map),
+        pl.BlockSpec((SB, nkv, rs, hd), q_map),
+        pl.BlockSpec((SB, nkv, rs, _LANES), q_map),
+        pl.BlockSpec((SB, nkv, rs, _LANES), q_map),
         any_spec,
         any_spec,
     ]
@@ -416,7 +452,7 @@ def paged_prefix_attention_update(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b // SB,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,

@@ -157,6 +157,36 @@ def multiprocess_payload(mesh) -> Dict[str, np.ndarray]:
         lambda p, t: model.apply(p, t), out_shardings=(repl, None)
     )(lp_sh, toks_g)
     out["llama_logits"] = np.asarray(jax.device_get(logits.addressable_data(0)))
+
+    # --- 4: the SERVING stack across the world ------------------------------
+    # ContinuousBatcher with dp×tp-sharded params + paged KV, the closest
+    # achievable approximation of the north star's "continuous batching
+    # across hosts" in a 1-host env: every process runs the same engine in
+    # lockstep; tokens replicate back; page allocation stays per-dp-group.
+    # Output ids must be identical across processes AND to a single-process
+    # world (asserted by tests/test_multiprocess.py).
+    from ..models.generate import ContinuousBatcher
+    from ..models.llama_sharding import shard_llama_params
+
+    cfg_s = tiny_llama(dtype=jnp.float32, kv_cache_dtype="int8")
+    model_s = LlamaModel(cfg_s)
+    sp = model_s.init(jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32))
+    sp_host = jax.tree_util.tree_map(np.asarray, sp)
+    sp_sh = global_put(sp_host, mesh, llama_partition_specs(sp_host))
+    prompts = [
+        rng.integers(0, cfg_s.vocab_size, size=l).tolist()
+        for l in (4, 6, 3, 5, 7, 4)
+    ]
+    batcher = ContinuousBatcher(
+        model_s, sp_sh, num_slots=4, max_len=32, mesh=mesh,
+        kv_pages=17, kv_page_size=8,
+    )
+    for p in prompts:
+        batcher.submit(p, max_new_tokens=5)
+    ids = {r.uid: r.generated for r in batcher.run()}
+    out["serving_ids"] = np.asarray(
+        [ids[uid] for uid in sorted(ids)], np.int32
+    )
     return out
 
 

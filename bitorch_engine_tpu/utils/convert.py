@@ -79,6 +79,49 @@ def quantize_params(
     )
 
 
+def mpq_interceptor(next_fun, args, kwargs, context):
+    """flax method interceptor: a plain ``nn.Dense`` whose stored ``kernel``
+    param is an MPQTensor (after :func:`quantize_params` surgery) computes
+    the fused quantized matmul instead of the fp one.
+
+    This is the functional analogue of the reference's ``replace_layers``
+    module mutation (``convert.py:7-84`` + the Lightning example's
+    quantize-in-place flow): the MODEL code stays plain; the behavior swap
+    keys off the parameter type.  During ``init`` (no stored kernel yet) and
+    for unconverted layers it falls through to the normal Dense path, so
+    one model definition serves both fp and quantized parameter trees.
+    """
+    from flax import linen as nn
+
+    from ..ops.mpq_linear import mpq_linear
+    from ..qtensor import MPQTensor
+
+    mod = context.module
+    if (
+        isinstance(mod, nn.Dense)
+        and context.method_name == "__call__"
+        and mod.scope is not None
+        and mod.scope.has_variable("params", "kernel")
+    ):
+        kern = mod.scope.get_variable("params", "kernel")
+        if isinstance(kern, MPQTensor):
+            (x,) = args
+            y = mpq_linear(x, kern)
+            if mod.use_bias and mod.scope.has_variable("params", "bias"):
+                y = y + mod.scope.get_variable("params", "bias")
+            return y
+    return next_fun(*args, **kwargs)
+
+
+def quantized_apply(model, params, *args, **kwargs):
+    """``model.apply`` with :func:`mpq_interceptor` active: run a PLAIN flax
+    model whose params tree was quantized in place by :func:`quantize_params`."""
+    from flax import linen as nn
+
+    with nn.intercept_methods(mpq_interceptor):
+        return model.apply(params, *args, **kwargs)
+
+
 def prepare_for_training(params):
     """Attach grad shadows to every QTensor (reference ``prepare_bie_layers``
     + training-mode ``privileged_grad`` allocation)."""
