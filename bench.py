@@ -418,7 +418,7 @@ def mbwq_decode():
     """7B MBWQ 2.5-bit decode arm — the reference's headline capability
     (fewer bits ⇒ more tokens/s in the memory-bound regime; exl2 mixed-bit
     GEMV ``q_gemm_kernel.cuh:36`` + 2-bit dequant ``qdq_2.cuh:26-51``).
-    llama2-7B, strategy 25% w4 / 75% w2 (avg 2.5 bits), g32, int8 KV, w4
+    llama2-7B, strategy 25% w4 / 75% w2 (avg 2.5 bits), g64, int8 KV, w4
     head.  BENCH_MBWQ_A8=1 (default) routes w2 segments through the A8
     int8-MXU quad layout (the round-3 VPU-extract-bound fix); =0 keeps
     bf16 activations (reference-parity A16W2).  Returns seconds/step.
@@ -432,10 +432,14 @@ def mbwq_decode():
     )
     from bitorch_engine_tpu.utils.convert import relayout_params_for_tpu
 
+    # group_size 64: half the group-metadata stream and double the dot-K of
+    # g32 (measured 7.65 vs 9.63 ms/step, round-4 probe-5 A/B); quality is
+    # bounded by the ppl gate's rel_delta_mbwq_2p5g64_a8 band (+1.22%, on
+    # par with g32's +1.26%).  BENCH_MBWQ_GS=32 reverts.
     cfg = llama2_7b(
         dtype=jnp.bfloat16,
         mbwq_strategy=((4, 0.25), (2, 0.75)),
-        group_size=32,
+        group_size=int(os.environ.get("BENCH_MBWQ_GS", "64")),
         max_seq_len=CACHE_LEN,
         kv_cache_dtype="int8",
         quantize_embed=True,

@@ -210,6 +210,15 @@ def run_ppl_gate(
             mbwq_strategy=((4, 0.25), (2, 0.75)),
             **base,
         ),
+        # the serving-perf operating point (half the group metadata, double
+        # the dot-K — BENCH_NOTES round 4); its quality cost vs g32 must be
+        # bounded for the bench config to be honest
+        "mbwq_2p5g64": LlamaConfig(
+            quantized=True,
+            group_size=64,
+            mbwq_strategy=((4, 0.25), (2, 0.75)),
+            **base,
+        ),
     }
     for name, cfg_q in quant_cfgs.items():
         params_q = quantize_llama_params(params_fp, cfg_q)
@@ -233,7 +242,7 @@ def run_ppl_gate(
     # (act_bits_map={2: 8}).  The XLA fallback simulates the quad kernel's
     # quantization exactly (ops/mpq_linear.py), so this delta is the real
     # serving-quality cost of the A8 lever — gated against the A16 variant.
-    for name in ("mbwq_2p5", "w2g32"):
+    for name in ("mbwq_2p5", "mbwq_2p5g64", "w2g32"):
         cfg_q = quant_cfgs[name]
         params_q = relayout_params_for_tpu(
             quantize_llama_params(params_fp, cfg_q),

@@ -483,12 +483,19 @@ class LlamaAttention(nn.Module):
                     # KV pools are written in-kernel; the tiny scale rows
                     # are written here in XLA (a single scale row is below
                     # HBM tile granularity, so the kernel cannot DMA it —
-                    # Mosaic 8-sublane slice rule).  The kernel gathers its
-                    # scale windows from these post-update pools; the
-                    # pos < cache_len mask excludes the new token.
+                    # Mosaic 8-sublane slice rule).  Whose pools the kernel
+                    # gathers its scale windows from is a measured,
+                    # batch-dependent choice (the pos < cache_len mask
+                    # excludes the new token either way, so both are
+                    # bit-identical): at small batch the short dus chain
+                    # feeds the kernel post-update pools (v5e b8: 7.23 vs
+                    # 7.64 ms/step pre-update); at large batch the scale
+                    # write (scatter form) comes OFF the kernel's critical
+                    # path by gathering pre-update (b64: 15.2 vs 16.9).
                     ksp = pool_write(kv_cache.k_scale, ks_new)
                     vsp = pool_write(kv_cache.v_scale, vs_new)
-                    kv_cache = kv_cache.replace(k_scale=ksp, v_scale=vsp)
+                    if b <= 16:
+                        kv_cache = kv_cache.replace(k_scale=ksp, v_scale=vsp)
                     new_cache = None  # KV pools built by the kernel below
                 else:
                     kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
@@ -755,8 +762,14 @@ class LlamaAttention(nn.Module):
                     sm_scale=1.0 / math.sqrt(hd),
                     interpret=_paged_kernel_mode() == "interpret",
                 )
-                # scale pools (int8 mode) were already updated in XLA above
-                new_cache = kv_cache.replace(k_pool=kp2, v_pool=vp2)
+                if kv_quant:
+                    # post-update scale pools (dus chain above, overlapped
+                    # with the kernel — the kernel gathered pre-update)
+                    new_cache = kv_cache.replace(
+                        k_pool=kp2, v_pool=vp2, k_scale=ksp, v_scale=vsp
+                    )
+                else:
+                    new_cache = kv_cache.replace(k_pool=kp2, v_pool=vp2)
             else:
                 acc_p, m_p, l_p = paged_prefix_attention(
                     qk2,

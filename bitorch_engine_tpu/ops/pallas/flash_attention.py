@@ -25,9 +25,12 @@ passes — the standard TPU design:
   zero output columns which are sliced off) — AD sees pad/slice, so the
   custom_vjp inside stays exact.
 
-Causality skips strictly-upper tiles via ``pl.when`` (compute skipped;
-the tile DMA still streams — K/V bytes are a minor term next to the
-matmul FLOPs this kernel exists to keep on the MXU).
+Causality skips strictly-upper tiles twice over: ``pl.when`` gates the
+compute, and the K/V (resp. q/do/stat in ``dkv``) index maps CLAMP masked
+grid steps to the last visible tile — consecutive equal block indices make
+the Pallas pipeline skip the copy, so upper-triangle bytes never stream
+(~2× less K/V traffic at long s; ``BITORCH_FLASH_CAUSAL_CLAMP=0`` restores
+compute-skip-only for A/B).
 """
 
 from __future__ import annotations
@@ -46,6 +49,15 @@ Array = jax.Array
 
 _NEG_INF = float(-jnp.inf)
 _LANES = 128
+
+
+def _causal_clamp() -> bool:
+    """Skip upper-triangle K/V DMAs via index-map clamping (default on;
+    BITORCH_FLASH_CAUSAL_CLAMP=0 restores compute-skip-only grids for
+    A/B)."""
+    import os
+
+    return os.environ.get("BITORCH_FLASH_CAUSAL_CLAMP", "1") != "0"
 
 
 def _pick_block(s: int, preferred: int = 512) -> int:
@@ -126,8 +138,10 @@ def _fwd_call(q, k, v, *, causal, sm_scale, bq, bk, interpret):
     def q_map(i, j, kk):
         return (i, j, 0)
 
+    clamp = causal and _causal_clamp()
+
     def kv_map(i, j, kk):
-        if causal:
+        if clamp:
             # clamp masked (strictly-upper) steps to the last visible KV
             # tile: consecutive grid steps with equal block indices skip
             # the DMA, so upper-triangle K/V bytes never stream (the
@@ -298,8 +312,10 @@ def _bwd_call(q, k, v, out, lse, do, *, causal, sm_scale, bq, bk, interpret):
     def q_map(i, j, kk):
         return (i, j, 0)
 
+    clamp = causal and _causal_clamp()
+
     def kv_map(i, j, kk):
-        if causal:
+        if clamp:
             # same masked-step clamp as the forward (skips upper-triangle
             # K/V DMAs; see _fwd_call.kv_map)
             return (i // rep, jnp.minimum(kk, j), 0)
@@ -341,7 +357,7 @@ def _bwd_call(q, k, v, out, lse, do, *, causal, sm_scale, bq, bk, interpret):
         # masked steps (jq < kk never contribute under causality) clamp to
         # the first visible Q tile of this KV tile: equal consecutive block
         # indices skip the q/do/stat DMAs for the skipped lower-t steps
-        return jnp.maximum(t % nq, kk) if causal else t % nq
+        return jnp.maximum(t % nq, kk) if clamp else t % nq
 
     def q_group_map(i, kk, t):
         return (i * rep + t // nq, _jq(kk, t), 0)

@@ -62,6 +62,12 @@ assert (
 assert (
     out["rel_delta_w2g32_a8"] < out["rel_delta_w2g32"] + 0.01
 ), "A8 activations exceed the noise band over A16 (w2g32)"
+# the gs-64 serving operating point (bench MBWQ arm): coarser groups cost
+# quality — bound it at the w2g32 level + noise so the perf config never
+# silently drifts past the uniform-2-bit damage
+assert (
+    out["rel_delta_mbwq_2p5g64_a8"] < out["rel_delta_w2g32"] + 0.01
+), "mbwq-2.5 gs64 exceeds the uniform-w2g32 damage band"
 print("PPL GATE PASSED: w4 delta "
       f"{100*out['rel_delta_w4g64']:.2f}% < 5%; w4 < mbwq2.5 ~ w2; "
       f"A8 delta +{100*(out['rel_delta_mbwq_2p5_a8']-out['rel_delta_mbwq_2p5']):.2f}% vs A16")
