@@ -461,12 +461,20 @@ def mbwq_decode():
     )
     caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def decode_step(params, tok, caches, pos):
+    # MHA window bucket floor 128 (not the GQA arms' 256): llama2-7B streams
+    # 4× the KV bytes per cached position of the 8-kv-head models, so the
+    # smaller early-sequence bucket matters — the round-4 trace put the
+    # window-256 attention einsums at 1.14 ms/step, ~15% of the whole step.
+    # All timed positions stay < 127, honoring the window >= cache_len+1
+    # contract (BENCH_MBWQ_WIN overrides).
+    window = int(os.environ.get("BENCH_MBWQ_WIN", "128"))
+
+    @functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("win",))
+    def decode_step(params, tok, caches, pos, win=window):
         positions = jnp.broadcast_to(pos, (BATCH, 1)).astype(jnp.int32)
         logits, caches = model.apply(
             params, tok, positions=positions, kv_caches=caches,
-            cache_len=pos, attn_window=256,
+            cache_len=pos, attn_window=win,
         )
         return jnp.argmax(logits[:, -1], -1)[:, None], caches
 

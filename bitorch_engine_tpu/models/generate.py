@@ -362,19 +362,52 @@ class ContinuousBatcher:
 
         self._prefill_slots = _prefill_slots
 
+        def _scale_take(caches, slots):
+            """Per-slot rows of the dense scale caches for this admit wave
+            (KV pools are slot-agnostic — pages do the indirection — but
+            scales are positional per slot; see models/paged_kv.py)."""
+            return [
+                c
+                if c.k_scale is None
+                else c.replace(
+                    k_scale=jnp.take(c.k_scale, slots, axis=0),
+                    v_scale=jnp.take(c.v_scale, slots, axis=0),
+                )
+                for c in caches
+            ]
+
+        def _scale_put(full, new_caches, slots):
+            return [
+                nc
+                if f.k_scale is None
+                else nc.replace(
+                    k_scale=f.k_scale.at[slots].set(nc.k_scale),
+                    v_scale=f.v_scale.at[slots].set(nc.v_scale),
+                )
+                for f, nc in zip(full, new_caches)
+            ]
+
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def _prefill_slots_paged(params, caches, tokens, table_rows, true_lens):
-            """Paged prefill: no slot gather/scatter — writes land directly
-            in the pool pages named by this admit-wave's table rows."""
+        def _prefill_slots_paged(
+            params, caches, tokens, table_rows, slots, true_lens
+        ):
+            """Paged prefill: no KV slot gather/scatter — writes land
+            directly in the pool pages named by this admit-wave's table
+            rows.  Only the dense per-slot scale caches gather/scatter by
+            ``slots`` (tiny rows)."""
             in_tables = [c.page_table for c in caches]
-            caches = [c.replace(page_table=table_rows) for c in caches]
+            wave = [
+                c.replace(page_table=table_rows)
+                for c in _scale_take(caches, slots)
+            ]
             logits, new_caches = model_.apply(
                 params,
                 tokens,
-                kv_caches=caches,
+                kv_caches=wave,
                 cache_len=jnp.zeros((tokens.shape[0],), jnp.int32),
                 attn_window=0,
             )
+            new_caches = _scale_put(caches, new_caches, slots)
             # restore each layer's own table buffer: returning table_rows
             # for every layer would alias ONE output buffer across layers,
             # and the next donated call rejects duplicate donated buffers
@@ -430,10 +463,14 @@ class ContinuousBatcher:
             jax.jit, donate_argnums=(1,), static_argnames=("window",)
         )
         def _prefill_chunk_paged(
-            params, caches, tokens, table_rows, true_lens, last, base, window
+            params, caches, tokens, table_rows, slots, true_lens, last, base,
+            window,
         ):
             in_tables = [c.page_table for c in caches]
-            caches = [c.replace(page_table=table_rows) for c in caches]
+            wave = [
+                c.replace(page_table=table_rows)
+                for c in _scale_take(caches, slots)
+            ]
             n, C = tokens.shape
             positions = base + jnp.arange(C, dtype=jnp.int32)[None, :]
             positions = jnp.broadcast_to(positions, (n, C))
@@ -441,10 +478,11 @@ class ContinuousBatcher:
                 params,
                 tokens,
                 positions=positions,
-                kv_caches=caches,
+                kv_caches=wave,
                 cache_len=base.astype(jnp.int32),
                 attn_window=window,
             )
+            new_caches = _scale_put(caches, new_caches, slots)
             new_caches = [
                 c.replace(page_table=t) for c, t in zip(new_caches, in_tables)
             ]
@@ -555,6 +593,7 @@ class ContinuousBatcher:
                     self.caches,
                     self._put(padded, self._rep),
                     self._put(self.allocator.table[slots], self._rep),
+                    self._put(np.asarray(slots, np.int32), self._rep),
                     self._put(true_lens, self._rep),
                 )
             else:
@@ -597,9 +636,7 @@ class ContinuousBatcher:
             if self.paged
             else None
         )
-        slots_j = None if self.paged else self._put(
-            np.asarray(slots, np.int32), self._vec_sharding
-        )
+        slots_j = self._put(np.asarray(slots, np.int32), self._vec_sharding)
         for j in range(bucket // C):
             toks = self._put(padded[:, j * C : (j + 1) * C], self._tok_sharding)
             base = jnp.asarray(j * C, jnp.int32)
@@ -607,7 +644,7 @@ class ContinuousBatcher:
             if self.paged:
                 last, self.caches = self._prefill_chunk_paged(
                     self.params, self._caches_in() if j == 0 else self.caches,
-                    toks, table_rows, tl, last, base, window=window,
+                    toks, table_rows, slots_j, tl, last, base, window=window,
                 )
             else:
                 last, self.caches = self._prefill_chunk_slots(

@@ -430,11 +430,6 @@ class LlamaAttention(nn.Module):
                 g = jnp.take(pool, tbl, axis=0)  # (b, P, ps, nkv·hd)
                 return g.reshape(b, prefix_len, nkv, hd)
 
-            def gather_scale(pool):
-                # rank-2 scale pool (pages, ps·nkv) → (b, P·ps, nkv)
-                g = jnp.take(pool, tbl, axis=0)  # (b, P, ps·nkv)
-                return g.reshape(b, prefix_len, nkv)
-
             def pool_write(pool, update):
                 """Write ``update`` (b, s, F) at (page, off) — F is the
                 flattened nkv·hd token payload (or nkv for scale pools).
@@ -457,17 +452,6 @@ class LlamaAttention(nn.Module):
                 # its per-op cost overtakes the (batched, layout-benign
                 # because indices are adjacent) scatter form
                 unroll = s == 1 and b <= 16
-                if pool.ndim == 2:
-                    # rank-2 scale pool (pages, ps·nkv): a token's nkv
-                    # scales live at columns [off·nkv, (off+1)·nkv)
-                    if not unroll:
-                        cols = off[:, :, None] * nkv + jnp.arange(nkv)[None, None]
-                        return pool.at[page[:, :, None], cols].set(upd)
-                    for i in range(b):
-                        pool = lax.dynamic_update_slice(
-                            pool, upd[i], (page[i, 0], off[i, 0] * nkv)
-                        )
-                    return pool
                 if not unroll:
                     return pool.at[page, off].set(upd)
                 for i in range(b):
@@ -479,38 +463,35 @@ class LlamaAttention(nn.Module):
             if kv_quant:
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
+                # KV scales live in DENSE per-slot caches (slots, L, nkv)
+                # — slots own disjoint pages, so per-(slot, position)
+                # scales are isomorphic to paged ones, and the write is
+                # the dense cache's single dus instead of a per-slot dus
+                # chain over the scale pools (512 ops / 418 µs/step on the
+                # b8 8B config, round-4 device trace).
+                ksp = write(kv_cache.k_scale, ks_new, cache_len)
+                vsp = write(kv_cache.v_scale, vs_new, cache_len)
                 if kernel_wb:
-                    # KV pools are written in-kernel; the tiny scale rows
-                    # are written here in XLA (a single scale row is below
+                    # KV pools are written in-kernel (a scale row is below
                     # HBM tile granularity, so the kernel cannot DMA it —
-                    # Mosaic 8-sublane slice rule).  Whose pools the kernel
-                    # gathers its scale windows from is a measured,
-                    # batch-dependent choice (the pos < cache_len mask
-                    # excludes the new token either way, so both are
-                    # bit-identical): at small batch the short dus chain
-                    # feeds the kernel post-update pools (v5e b8: 7.23 vs
-                    # 7.64 ms/step pre-update); at large batch the scale
-                    # write (scatter form) comes OFF the kernel's critical
-                    # path by gathering pre-update (b64: 15.2 vs 16.9).
-                    ksp = pool_write(kv_cache.k_scale, ks_new)
-                    vsp = pool_write(kv_cache.v_scale, vs_new)
-                    if b <= 16:
-                        kv_cache = kv_cache.replace(k_scale=ksp, v_scale=vsp)
+                    # Mosaic 8-sublane slice rule); the kernel reads the
+                    # post-update scale caches (bit-identical to
+                    # pre-update under the pos < cache_len mask).
+                    kv_cache = kv_cache.replace(k_scale=ksp, v_scale=vsp)
                     new_cache = None  # KV pools built by the kernel below
                 else:
                     kp = pool_write(kv_cache.k_pool, k_new.reshape(b, s, nkv * hd))
                     vp = pool_write(kv_cache.v_pool, v_new.reshape(b, s, nkv * hd))
-                    ksp = pool_write(kv_cache.k_scale, ks_new)
-                    vsp = pool_write(kv_cache.v_scale, vs_new)
                     new_cache = kv_cache.replace(
                         k_pool=kp, v_pool=vp, k_scale=ksp, v_scale=vsp
                     )
                 if full_read:
                     k_all, v_all = gather(kp), gather(vp)
-                    ks_all, vs_all = gather_scale(ksp), gather_scale(vsp)
+                    ks_all = ksp[:, :prefix_len]
+                    vs_all = vsp[:, :prefix_len]
                 elif prefix_len and not kernel_wb:
-                    ks_pre = gather_scale(kv_cache.k_scale)
-                    vs_pre = gather_scale(kv_cache.v_scale)
+                    ks_pre = kv_cache.k_scale[:, :prefix_len]
+                    vs_pre = kv_cache.v_scale[:, :prefix_len]
             else:
                 k_new = k.astype(kv_cache.k_pool.dtype)
                 v_new = v.astype(kv_cache.v_pool.dtype)

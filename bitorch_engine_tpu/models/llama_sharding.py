@@ -65,11 +65,12 @@ def paged_kv_shardings(mesh: Mesh, caches):
     table shards its slot axis over 'dp'.
     """
     # rank-3 pools (pages, page_size, kv_heads·head_dim): tp splits the
-    # flattened head axis (head-aligned because nkv % tp == 0).  Rank-2
-    # scale pools interleave (token, head) on the minor axis so they stay
-    # replicated — ~264 KB/layer of fp32, negligible next to the pools.
+    # flattened head axis (head-aligned because nkv % tp == 0).  Dense
+    # per-slot scale caches (slots, L, kv_heads) shard their slot axis
+    # over 'dp' like the page table; the head axis stays whole (~1 MB of
+    # fp32 per layer, and the windowed read is a prefix slice).
     pool = NamedSharding(mesh, P(None, None, "tp"))
-    scale = NamedSharding(mesh, P(None, None))
+    scale = NamedSharding(mesh, P("dp", None, None))
     table = NamedSharding(mesh, P("dp", None))
     out = []
     for c in caches:

@@ -62,12 +62,18 @@ class PagedKV:
     ``k_pool``/``v_pool`` are ``(num_pages, page_size, kv_heads·head_dim)``
     (``kv_heads`` rides as static pytree metadata so attention can split
     the flattened head axis).  ``k_scale``/``v_scale`` are ``None`` in
-    bf16 mode; in int8 mode they hold fp32 per-position scales flattened
-    to rank-2 ``(num_pages, page_size·kv_heads)`` — rank-2 admits exactly
-    one layout, so XLA cannot pick a permuted internal layout and pay
-    boundary copies (a rank-3 ``(pages, ps, nkv)`` scale pool measured
-    ~220 µs/step of layout-change copies on 8B, BENCH_NOTES r3), and a
-    token's ``nkv`` scales stay one contiguous dus.
+    bf16 mode; in int8 mode they hold fp32 per-position scales in a
+    **dense per-slot** layout ``(slots, pages_per_slot·page_size,
+    kv_heads)`` — NOT paged.  Slots own disjoint pages (no prefix sharing
+    in the allocator), so per-(slot, position) scales carry exactly the
+    paged information, and the dense form turns the decode-step scale
+    write into the dense cache's single dus (the paged rank-2 scale pools
+    needed one dus per slot per pool: 512 ops, 418 µs/step on the 8B b8
+    serving config — the round-4 device trace's #1 paged overhead) and the
+    window read into a plain prefix slice instead of a page gather.
+    Stale rows after slot reuse are inert: attention multiplies scales
+    into scores *before* the ``pos < cache_len`` mask selects them away,
+    and the pools are zero-initialized so stale values are always finite.
     ``page_table`` ``(b, pages_per_slot) int32`` holds the same *values*
     for every layer but must be a **distinct device buffer per layer**:
     the serving step donates the cache pytree, and XLA rejects donating
@@ -108,7 +114,7 @@ def init_paged_kv_caches(
         # distinct buffer per layer — the donated-step requirement above
         table = jnp.zeros((slots, pages_per_slot), jnp.int32)
         if cfg.kv_cache_dtype == "int8":
-            sshape = (num_pages, page_size * cfg.num_kv_heads)
+            sshape = (slots, pages_per_slot * page_size, cfg.num_kv_heads)
             caches.append(
                 PagedKV(
                     k_pool=jnp.zeros(shape, jnp.int8),

@@ -164,6 +164,7 @@ def quantize_mbwq(
         q_perm=perm,
         channel_scale=channel_scale,
         # by construction the permutation moves whole base_gs-row blocks
+        block_perm=(perm[::base_gs] // base_gs).astype(jnp.int32),
         perm_block=base_gs,
     )
 
@@ -226,7 +227,13 @@ def _mbwq_forward(x, qt: MBWQTensor):
             # along a non-minor axis (a lane-axis row gather is the worst
             # case for the TPU vector memory)
             nb = x.shape[-1] // pb
-            bp = qt.q_perm[::pb] // pb  # (nb,) block indices
+            # (nb,) block indices — precomputed at quantize time when
+            # available (recomputing per call costs a fusion per step)
+            bp = (
+                qt.block_perm
+                if qt.block_perm is not None
+                else qt.q_perm[::pb] // pb
+            )
             x3 = x.reshape(x.shape[:-1] + (nb, pb))
             xp = jnp.take(x3, bp, axis=-2).reshape(x.shape)
         else:

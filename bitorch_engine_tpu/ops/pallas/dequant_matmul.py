@@ -210,7 +210,6 @@ def _accumulate_k_step(
     x_blk,
     packed_blk,
     scales_blk,
-    zeros_blk,
     acc,
     *,
     w_bit: int,
@@ -218,22 +217,36 @@ def _accumulate_k_step(
     gpk: int,
     layout: str,
     xsums_blk=None,
+    zeros_blk=None,
 ):
     """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
-    dot each against its activation slice, apply group-factored scales and
-    the batched zeros correction.  Shared by the grid and multi-segment
-    (MBWQ) kernels.
+    dot each against its activation slice, apply group-factored scales.
+    Shared by the grid and multi-segment (MBWQ) kernels.
 
-    ``xsums_blk``: optional precomputed (bm, gpk) per-group activation sums
-    (the A8 path computes them in XLA outside the kernel — integer sums are
-    order-exact, and the in-kernel per-group reduce+concat measured ~4.7 µs
-    on the 8192×4096 w2 g32 K-steps, round-4 ablation)."""
+    Zeros correction (round-4 redesign): the subtractive-zero term
+    ``Σ_g xsum_g · zeros[g,n]`` is linear in per-group activation sums, so
+    it does NOT need to live in the kernel at all — the caller computes it
+    as ONE XLA f32 dot ``xsums (m,G) @ zeros (G,N)`` per projection.  The
+    in-kernel form cost a ``precision=HIGHEST`` f32 MXU dot per K-step
+    (~4.7 µs on the 8192×4096 w2 g32 calls, round-4 ablation) and made the
+    kernel stream the zeros metadata through VMEM.  The only piece that
+    must stay in-kernel is tpu_pair's +128 magic-exponent bias: it is
+    subtracted from each group's contribution as a (bm, 1) broadcast row
+    (``contrib − 128·xsum_g``) BEFORE the f32 scale multiply — exact in
+    f32, one cheap VPU op per group.
+
+    ``xsums_blk``: (bm, gpk) f32 per-group activation sums, required for
+    tpu_pair (the bias rows).  ``zeros_blk``: when given, the legacy full
+    in-kernel correction runs instead (the multi-segment MBWQ kernel still
+    uses this form; see mbwq_matmul.py)."""
     ppw = 32 // w_bit
     bkp = group_size // ppw
-    zeros_eff = zeros_blk.astype(jnp.float32)
-    if layout == "tpu_pair":
-        # compensate the +128 bias the magic-exponent unpack adds to codes
-        zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
+    legacy = zeros_blk is not None
+    if legacy:
+        zeros_eff = zeros_blk.astype(jnp.float32)
+        if layout == "tpu_pair":
+            # compensate the +128 bias the magic-exponent unpack adds
+            zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_blk.astype(jnp.uint32)  # (gpk*bkp, bn)
     q_tiles = (
         _unpack_kstep_quad_tiles(packed, w_bit) if layout == "tpu_quad" else None
@@ -253,18 +266,21 @@ def _accumulate_k_step(
             words = packed[g * bkp : (g + 1) * bkp, :]
             q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)
             contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
+            if layout == "tpu_pair" and not legacy:
+                contrib = contrib - _PAIR_BIAS * xsums_blk[:, g : g + 1]
         scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
         acc = acc + contrib * scale
-        if xsums_blk is None:
+        if legacy and xsums_blk is None:
             xsums.append(jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True))
-    # zeros term, batched into ONE MXU op across the K step's groups:
+    if not legacy:
+        return acc
+    # legacy in-kernel zeros term, batched into ONE MXU op per K step:
     #   Σ_g (Σ_k x_g[k]) · zeros[g, n]  ==  xsums (bm, gpk) @ zeros (gpk, bn)
     # precision=HIGHEST is load-bearing: at default precision the MXU
     # truncates these f32 operands to bf16, and for tpu_pair the folded
     # +128 bias makes this term up to 128/maxq ≈ 128× larger than the
     # signal — bf16 truncation there showed up as 10–73% end error on
-    # hardware (interpret mode computes f32 and hid it).  The dot is
-    # (bm, gpk)·(gpk, bn) — tiny, so the multi-pass cost is noise.
+    # hardware (interpret mode computes f32 and hid it).
     xsums_mat = (
         xsums_blk.astype(jnp.float32)
         if xsums_blk is not None
@@ -282,7 +298,6 @@ def _mpq_kernel(
     x_ref,
     packed_ref,
     scales_ref,
-    zeros_ref,
     *rest,
     w_bit: int,
     group_size: int,
@@ -290,13 +305,19 @@ def _mpq_kernel(
     nk: int,
     meta3d: bool,
     layout: str = "tpu_tiled",
+    has_zeros: bool = False,
     has_xsums: bool = False,
 ):
+    idx = 0
+    zeros_ref = None
+    if has_zeros:
+        zeros_ref = rest[idx]
+        idx += 1
+    xsums_ref = None
     if has_xsums:
-        xsums_ref, out_ref, acc_ref = rest
-    else:
-        xsums_ref = None
-        out_ref, acc_ref = rest
+        xsums_ref = rest[idx]
+        idx += 1
+    out_ref, acc_ref = rest[idx], rest[idx + 1]
     i_k = pl.program_id(2)
 
     @pl.when(i_k == 0)
@@ -305,21 +326,23 @@ def _mpq_kernel(
 
     # metadata blocks: (gpk, bn) straight from the 2-D (G, N) arrays when
     # gpk is sublane-aligned; the 3-D reshape fallback costs a relayout copy
-    # of the whole scales/zeros per call (measured ~3 us on 4096² w4)
+    # of the whole scales per call (measured ~3 us on 4096² w4)
     scales_blk = scales_ref[0] if meta3d else scales_ref[:]
-    zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
+    zeros_blk = None
+    if zeros_ref is not None:
+        zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
 
     acc_ref[:] = _accumulate_k_step(
         x_ref[:],
         packed_ref[:],
         scales_blk,
-        zeros_blk,
         acc_ref[:],
         w_bit=w_bit,
         group_size=group_size,
         gpk=gpk,
         layout=layout,
         xsums_blk=None if xsums_ref is None else xsums_ref[0],
+        zeros_blk=zeros_blk,
     )
 
     @pl.when(i_k == nk - 1)
@@ -487,49 +510,49 @@ def _mpq_matmul_call(
     meta3d = gpk % 8 != 0
     if meta3d:
         scales_in = scales.reshape(nk, gpk, n)
-        zeros_in = zeros.reshape(nk, gpk, n)
         meta_spec = pl.BlockSpec((1, gpk, bn), lambda im, i_n, i_k: (i_k, 0, i_n))
     else:
         scales_in = scales
-        zeros_in = zeros
         meta_spec = pl.BlockSpec((gpk, bn), lambda im, i_n, i_k: (i_k, i_n))
 
-    has_xsums = layout == "tpu_quad"
+    # Zeros-correction placement (round-4 A/B, v5e): for tpu_quad the
+    # subtractive-zero term moves OUT of the kernel into one plain-f32 XLA
+    # dot per projection — in-kernel it cost a precision=HIGHEST f32 MXU
+    # dot per K-step (~4.7 µs on the 8192×4096 w2 g32 calls) plus the
+    # zeros VMEM stream, and the g32/g64 segment shapes have 2-4× the
+    # group count of w4g128.  For tpu_pair/tpu_tiled the legacy in-kernel
+    # form stays: their group counts are small (w4g128), the in-kernel
+    # dot is correspondingly cheap, and the outside form pays an f32
+    # (instead of bf16) output round-trip that is pure overhead there.
+    zeros_outside = layout == "tpu_quad"
     kernel = functools.partial(
         _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
-        layout=layout, has_xsums=has_xsums,
+        layout=layout, has_zeros=not zeros_outside, has_xsums=False,
     )
 
     in_specs = [
         pl.BlockSpec((bm, gpk * gs), lambda im, i_n, i_k: (im, i_k)),
         pl.BlockSpec((gpk * bkp, bn), lambda im, i_n, i_k: (i_k, i_n)),
         meta_spec,
-        meta_spec,
     ]
-    operands = [x, packed, scales_in, zeros_in]
-    if has_xsums:
-        # A8: per-group activation sums precomputed in XLA (order-exact
-        # integer sums; the in-kernel reduce+concat measured ~4.7 µs per
-        # 8192×4096 call, round-4 ablation).  Rank-3 (nk, m_pad, gpk) so
-        # the block's trailing dims equal the array dims (Mosaic rule).
-        xs = (
-            x.astype(jnp.int32)
-            .reshape(m_pad, nk, gpk, gs)
-            .sum(-1)
-            .astype(jnp.float32)
-            .transpose(1, 0, 2)
-        )
-        in_specs.append(
-            pl.BlockSpec((1, bm, gpk), lambda im, i_n, i_k: (i_k, im, 0))
-        )
-        operands.append(xs)
+    operands = [x, packed, scales_in]
+    if not zeros_outside:
+        zeros_in = zeros.reshape(nk, gpk, n) if meta3d else zeros
+        in_specs.append(meta_spec)
+        operands.append(zeros_in)
 
     out = pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda im, i_n, i_k: (im, i_n)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        # f32 kernel output in zeros-outside mode: the correction below is
+        # the same order of magnitude as the output itself, so subtracting
+        # it from a bf16 kernel result would lose ~half the mantissa to
+        # cancellation
+        out_shape=jax.ShapeDtypeStruct(
+            (m_pad, n), jnp.float32 if zeros_outside else out_dtype
+        ),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -538,6 +561,21 @@ def _mpq_matmul_call(
         # pipeline by ~20% (16.4us vs 13.5us on the 4096^2 w4 GEMV)
         interpret=interpret,
     )(*operands)
+    if zeros_outside:
+        # out -= xsums @ zeros, one plain f32 XLA dot per projection
+        # (zeros stream HBM→MXU exactly once; int32 activation group sums
+        # are order-exact; the convert of bf16-stored zeros fuses into
+        # the dot)
+        xs2d = (
+            x.astype(jnp.int32)
+            .reshape(m_pad, nk * gpk, gs)
+            .sum(-1)
+            .astype(jnp.float32)
+        )  # (m_pad, G)
+        out = out - jnp.dot(
+            xs2d, zeros.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        out = out.astype(out_dtype)
     if m_pad != m:
         out = out[:m]
     return out

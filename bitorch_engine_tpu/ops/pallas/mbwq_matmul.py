@@ -78,16 +78,18 @@ def _mbwq_kernel(*refs, seg_specs, nk_total: int):
         ):
             scales_blk = scales_ref[0] if meta3d else scales_ref[:]
             zeros_blk = zeros_ref[0] if meta3d else zeros_ref[:]
+            # legacy full in-kernel zeros correction (zeros_blk given): the
+            # single-launch kernel keeps the self-contained form
             acc_ref[:] = _accumulate_k_step(
                 x_ref[:],
                 packed_ref[:],
                 scales_blk,
-                zeros_blk,
                 acc_ref[:],
                 w_bit=w_bit,
                 group_size=gs,
                 gpk=gpk,
                 layout=layout,
+                zeros_blk=zeros_blk,
             )
 
     @pl.when(i_k == nk_total - 1)

@@ -20,11 +20,12 @@ kernel measured 1.79× dense on hardware: 32 tiny grid steps/layer with
   multiply by ``v_scale`` before the context dot — identical math to the
   XLA paths (``models/llama.py`` two-part attention), and the codes feed
   the MXU raw, so no ``(W, hd)`` dequant intermediate exists;
-* the scale windows themselves are gathered by **XLA outside the kernel**
-  and ride in as ordinary ``(b, nkv, W)`` blocked operands: they are
-  ~1.5% of the window's KV bytes, and a page's 64-f32 scale row is below
-  the 128-lane tile Mosaic requires of a strided DMA destination (the
-  in-kernel scale DMA failed exactly that alignment check on v5e).
+* the scale windows ride in as ordinary ``(b, nkv, W)`` blocked operands,
+  prefix-sliced by XLA from the DENSE per-slot scale caches (see
+  ``models/paged_kv.py`` — scales are positional, not paged; a page's
+  64-f32 scale row is below the 128-lane tile Mosaic requires of a
+  strided DMA destination, so an in-kernel scale path cannot lower — the
+  alignment check that failed on v5e in round 4).
 
 Layout contract (see ``models/paged_kv.py``): KV pools are rank-3
 token-major ``(num_pages, page_size, kv_heads·head_dim)`` — one page is a
@@ -263,7 +264,8 @@ def paged_prefix_attention(
 
     ``q``: (b, nkv, rs, hd) — ``rs`` packs (group query heads × new tokens).
     ``k_pool``/``v_pool``: (num_pages, ps, nkv·hd); ``k_scale``/``v_scale``:
-    (num_pages, ps·nkv) fp32 or None (bf16 pools).  ``page_table``:
+    DENSE per-slot (slots, L ≥ W, nkv) fp32 or None (bf16 pools) — scales
+    are positional, not paged (see models/paged_kv.py).  ``page_table``:
     (b, P) int32 — only the pages covering the attention window.
     ``cache_len``: (b,) int32 valid prefix per slot.
 
@@ -291,17 +293,18 @@ def paged_prefix_attention(
     ]
     operands = [q, k_pool, v_pool]
     if quant:
-        # window scale gather in XLA (~1.5% of the window's KV bytes):
-        # rank-2 (pages, ps·nkv) → (b, nkv, W) lane-ordered windows
-        def gather_scale(pool):
-            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps·nkv)
-            return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
+        # window scales: a prefix slice of the dense (slots, L, nkv)
+        # caches, transposed into the (1, W) lane orientation the kernel's
+        # score/prob multiplies broadcast over (the paged form needed a
+        # page gather here)
+        def window_scale(cache):
+            return cache[:, : P * ps].transpose(0, 2, 1)
 
         in_specs += [
             pl.BlockSpec((SB, nkv, P * ps), sc_map),
             pl.BlockSpec((SB, nkv, P * ps), sc_map),
         ]
-        operands += [gather_scale(k_scale), gather_scale(v_scale)]
+        operands += [window_scale(k_scale), window_scale(v_scale)]
 
     kern = functools.partial(
         _paged_kernel_quant if quant else _paged_kernel_noscale,
@@ -363,14 +366,15 @@ def paged_prefix_attention_update(
     into its window page in VMEM and the full page is DMA'd back in place —
     no XLA-side KV-pool write op exists (the per-slot dus chain is serial
     in b and the scatter form lowers to while-loop machinery; BENCH_NOTES
-    r3).  In int8 mode the caller writes the (tiny) scale-pool rows itself
-    in XLA **before** this call and passes the post-update pools here for
-    the window gather — a single scale row is below HBM tile granularity,
-    so an in-kernel scale DMA cannot lower (Mosaic 8-sublane slice rule;
-    round-4 hardware check).  The attention mask ``pos < cache_len``
-    excludes the new token either way.  ``cache_len`` is the write position
-    per slot; the caller contract is ``attn_window > max(cache_len)`` so
-    the write page is inside the window slice of ``page_table``.
+    r3).  In int8 mode the caller writes the dense per-slot scale caches
+    itself in XLA **before** this call and passes the post-update caches
+    here for the window slice — a single scale row is below HBM tile
+    granularity, so an in-kernel scale DMA cannot lower (Mosaic 8-sublane
+    slice rule; round-4 hardware check).  The attention mask
+    ``pos < cache_len`` excludes the new token either way.  ``cache_len``
+    is the write position per slot; the caller contract is ``attn_window >
+    max(cache_len)`` so the write page is inside the window slice of
+    ``page_table``.
 
     Returns ``(acc, m, l, k_pool', v_pool')``.
     """
@@ -401,15 +405,15 @@ def paged_prefix_attention_update(
     operands = [q, k_pool, v_pool]
     if quant:
 
-        def gather_scale(pool):
-            g = jnp.take(pool, page_table, axis=0)  # (b, P, ps·nkv)
-            return g.reshape(b, P * ps, nkv).transpose(0, 2, 1)
+        def window_scale(cache):
+            # dense per-slot scales: prefix slice + lane-orientation swap
+            return cache[:, : P * ps].transpose(0, 2, 1)
 
         in_specs += [
             pl.BlockSpec((SB, nkv, P * ps), sc_map),
             pl.BlockSpec((SB, nkv, P * ps), sc_map),
         ]
-        operands += [gather_scale(k_scale), gather_scale(v_scale)]
+        operands += [window_scale(k_scale), window_scale(v_scale)]
     in_specs += [
         pl.BlockSpec((SB, 1, nkv * hd), row_map),
         pl.BlockSpec((SB, 1, nkv * hd), row_map),
@@ -532,11 +536,21 @@ def merge_attention_parts(
     """Two-way streaming-softmax combine: prefix state (from the kernel)
     with this step's new-token state (XLA).  Stats are (…, 1) or (…, 128)
     lane-broadcast f32; accs are (…, hd) f32 unnormalized.  Returns the
-    normalized context in f32."""
-    m_pre = m_pre[..., :1]
-    m_new = m_new[..., :1]
-    l_pre = l_pre[..., :1]
-    l_new = l_new[..., :1]
+    normalized context in f32.
+
+    When the kernel's lane-broadcast stats already match ``hd`` (= 128),
+    the arithmetic runs on them directly: a ``[..., :1]`` lane slice of a
+    (…, 128) f32 array is a relayout copy XLA materializes per projection
+    per step (4 × 0.7 µs × layers ≈ 88 µs/step on the 8B serving config,
+    round-4 device trace), while redundant 128-lane elementwise math is
+    free by comparison."""
+    hd = acc_pre.shape[-1]
+    if m_pre.shape[-1] != hd:
+        m_pre = m_pre[..., :1]
+        l_pre = l_pre[..., :1]
+    if m_new.shape[-1] not in (1, hd):
+        m_new = m_new[..., :1]
+        l_new = l_new[..., :1]
     m_tot = jnp.maximum(m_pre, m_new)
     a_pre = jnp.exp(m_pre - m_tot)
     a_new = jnp.exp(m_new - m_tot)

@@ -225,6 +225,12 @@ class MBWQTensor(QTensorBase):
     q_perm: Optional[Array] = None
     channel_scale: Optional[Array] = None
     grad_shadow: Optional[Array] = None
+    # Precomputed block indices for the block-structured gather:
+    # ``q_perm[::perm_block] // perm_block``, stored at quantize time.
+    # Deriving them inside the decode step costs a small fusion per
+    # projection per step (~150 µs/step across llama2-7B's 128 projections,
+    # round-4 device trace).
+    block_perm: Optional[Array] = None
     # When > 0, ``q_perm`` is guaranteed to move whole contiguous blocks of
     # this many rows (true for our channel-mix quantizer, which permutes
     # quantization blocks; detected at ingest for external checkpoints).

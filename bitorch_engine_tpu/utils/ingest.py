@@ -235,8 +235,14 @@ def mbwq_from_exl2(
         q_perm = jnp.asarray(pnp)
         perm_block = detect_perm_block(pnp)
     cs = None if channel_scale is None else jnp.asarray(np.asarray(channel_scale, np.float32))
+    bp = (
+        jnp.asarray(pnp[::perm_block] // perm_block, jnp.int32)
+        if q_perm is not None and perm_block
+        else None
+    )
     return MBWQTensor(
-        segments=tuple(segs), q_perm=q_perm, channel_scale=cs, perm_block=perm_block
+        segments=tuple(segs), q_perm=q_perm, channel_scale=cs,
+        block_perm=bp, perm_block=perm_block,
     )
 
 

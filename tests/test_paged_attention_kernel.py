@@ -32,11 +32,13 @@ def _setup(key, b, nkv, rs, hd, pages, ps, P, quant, dtype=jnp.float32):
         v_pool = jax.random.randint(ks[2], (pages, ps, nkv * hd), -127, 128).astype(
             jnp.int8
         )
+        # dense per-slot scale caches (slots, L ≥ W, nkv) — L > W here to
+        # exercise the kernel wrapper's prefix slice
         k_scale = jax.random.uniform(
-            ks[3], (pages, ps * nkv), jnp.float32, 0.01, 0.03
+            ks[3], (b, P * ps + 8, nkv), jnp.float32, 0.01, 0.03
         )
         v_scale = jax.random.uniform(
-            ks[4], (pages, ps * nkv), jnp.float32, 0.01, 0.03
+            ks[4], (b, P * ps + 8, nkv), jnp.float32, 0.01, 0.03
         )
     else:
         k_pool = jax.random.normal(ks[1], (pages, ps, nkv * hd), dtype)
@@ -63,12 +65,11 @@ def _reference(q, k_pool, v_pool, k_scale, v_scale, table, cache_len, sm_scale):
     vf = gather(v_pool).astype(jnp.float32)
     if k_scale is not None:
 
-        def gather_scale(pool):  # rank-2 (pages, ps·nkv) → (b, nkv, W)
-            g = jnp.take(pool, table, axis=0)  # (b, P, ps·nkv)
-            return g.reshape(b, W, nkv).transpose(0, 2, 1)
+        def window_scale(cache):  # dense (slots, L, nkv) → (b, nkv, W)
+            return cache[:, :W].transpose(0, 2, 1)
 
-        kf = kf * gather_scale(k_scale)[..., None]
-        vf = vf * gather_scale(v_scale)[..., None]
+        kf = kf * window_scale(k_scale)[..., None]
+        vf = vf * window_scale(v_scale)[..., None]
     s = jnp.einsum("bgrd,bgkd->bgrk", q.astype(jnp.float32), kf) * sm_scale
     pos = jnp.arange(W)[None, None, None, :]
     valid = pos < jnp.broadcast_to(jnp.asarray(cache_len), (b,))[
@@ -239,8 +240,9 @@ def test_writeback_kernel_matches_xla_write():
         if quant:
             kp0 = jax.random.randint(ks[1], (pages, ps, nkv * hd), -127, 128).astype(jnp.int8)
             vp0 = jax.random.randint(ks[2], (pages, ps, nkv * hd), -127, 128).astype(jnp.int8)
-            ks0 = jax.random.uniform(ks[3], (pages, ps * nkv), jnp.float32, 0.01, 0.03)
-            vs0 = jax.random.uniform(ks[4], (pages, ps * nkv), jnp.float32, 0.01, 0.03)
+            # dense per-slot scale caches (slots, L, nkv)
+            ks0 = jax.random.uniform(ks[3], (b, P * ps, nkv), jnp.float32, 0.01, 0.03)
+            vs0 = jax.random.uniform(ks[4], (b, P * ps, nkv), jnp.float32, 0.01, 0.03)
             kn = jax.random.randint(ks[6], (b, nkv * hd), -127, 128).astype(jnp.int8)
             vn = jax.random.randint(ks[7], (b, nkv * hd), -127, 128).astype(jnp.int8)
             ksn = jax.random.uniform(ks[8], (b, nkv), jnp.float32, 0.01, 0.03)
@@ -264,21 +266,25 @@ def test_writeback_kernel_matches_xla_write():
             out = pool
             for i in range(b):
                 pg = tbl[i, cl[i] // ps]
-                if pool.ndim == 3:
-                    out = jax.lax.dynamic_update_slice(
-                        out, upd[i][None, None], (pg, cl[i] % ps, 0)
-                    )
-                else:
-                    out = jax.lax.dynamic_update_slice(
-                        out, upd[i][None], (pg, (cl[i] % ps) * nkv)
-                    )
+                out = jax.lax.dynamic_update_slice(
+                    out, upd[i][None, None], (pg, cl[i] % ps, 0)
+                )
             return out
 
-        # int8 mode: the caller writes the scale-pool rows in XLA first and
-        # passes the post-update pools for the window gather (the kernel's
-        # pos < cache_len mask excludes the new position either way)
-        ks1 = xla_write(ks0, ksn, None) if quant else None
-        vs1 = xla_write(vs0, vsn, None) if quant else None
+        def scale_write(cache, upd):
+            # dense positional write (the model's dense-cache dus form)
+            out = cache
+            for i in range(b):
+                out = jax.lax.dynamic_update_slice(
+                    out, upd[i][None, None], (i, cl[i], 0)
+                )
+            return out
+
+        # int8 mode: the caller writes the dense scale caches in XLA first
+        # and passes the post-update caches for the window slice (the
+        # kernel's pos < cache_len mask excludes the new position)
+        ks1 = scale_write(ks0, ksn) if quant else None
+        vs1 = scale_write(vs0, vsn) if quant else None
         acc, m, l, kp, vp = paged_prefix_attention_update(
             q, kp0, vp0, ks1, vs1, tbl, cl, kn, vn,
             sm_scale=sm, interpret=True,
