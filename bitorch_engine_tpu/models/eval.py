@@ -219,6 +219,16 @@ def run_ppl_gate(
             mbwq_strategy=((4, 0.25), (2, 0.75)),
             **base,
         ),
+        # w2 segments at g128 (per-bit group-size override): halves the w2
+        # metadata bytes again and brings the per-group dot K to the MXU's
+        # native 128 — a serving-perf candidate whose quality cost must be
+        # bounded before it can be a bench default
+        "mbwq_2p5_w2g128": LlamaConfig(
+            quantized=True,
+            group_size=64,
+            mbwq_strategy=((4, 0.25), (2, 0.75, 128)),
+            **base,
+        ),
     }
     for name, cfg_q in quant_cfgs.items():
         params_q = quantize_llama_params(params_fp, cfg_q)
@@ -242,7 +252,7 @@ def run_ppl_gate(
     # (act_bits_map={2: 8}).  The XLA fallback simulates the quad kernel's
     # quantization exactly (ops/mpq_linear.py), so this delta is the real
     # serving-quality cost of the A8 lever — gated against the A16 variant.
-    for name in ("mbwq_2p5", "mbwq_2p5g64", "w2g32"):
+    for name in ("mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32"):
         cfg_q = quant_cfgs[name]
         params_q = relayout_params_for_tpu(
             quantize_llama_params(params_fp, cfg_q),

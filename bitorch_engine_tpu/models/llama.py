@@ -282,17 +282,13 @@ def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False
 
         if use_bias:
             raise NotImplementedError("MBWQ projections do not support bias")
-        bits = [b for b, _ in cfg.mbwq_strategy]
-        props = [p for _, p in cfg.mbwq_strategy]
-        strategy = {
-            "bits": bits,
-            "bits_prop": props,
-            "group_size": {str(b): cfg.group_size for b in bits},
-        }
-        if cfg.mbwq_container_bits:
-            strategy["container_bits"] = {
-                str(kk): int(v) for kk, v in dict(cfg.mbwq_container_bits).items()
-            }
+        from ..ops.mbwq_linear import strategy_dict
+
+        # strategy entries are (bits, proportion[, group_size]) — see
+        # ops/mbwq_linear.py::strategy_dict
+        strategy = strategy_dict(
+            cfg.mbwq_strategy, cfg.group_size, cfg.mbwq_container_bits
+        )
         return MBWQLinear(out_features, strategy=strategy, dtype=cfg.dtype, name=name)
     if cfg.quantized:
         return MPQLinear(

@@ -162,15 +162,12 @@ def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
     what the perplexity gate (BASELINE accuracy line) compares against fp.
     Embedding / norms / tied head pass through untouched.
     """
-    from ..ops.mbwq_linear import quantize_mbwq
+    from ..ops.mbwq_linear import quantize_mbwq, strategy_dict
 
     if cfg_q.mbwq_strategy is not None:
-        bits = [b for b, _ in cfg_q.mbwq_strategy]
-        strategy = {
-            "bits": bits,
-            "bits_prop": [p for _, p in cfg_q.mbwq_strategy],
-            "group_size": {str(b): cfg_q.group_size for b in bits},
-        }
+        strategy = strategy_dict(
+            cfg_q.mbwq_strategy, cfg_q.group_size, cfg_q.mbwq_container_bits
+        )
 
         def qz(kernel):
             return quantize_mbwq(kernel, strategy)

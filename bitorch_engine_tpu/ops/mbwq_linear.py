@@ -34,6 +34,31 @@ from .quant import dequantize_mpq, quantize_mpq
 Array = jax.Array
 
 
+def strategy_dict(
+    entries, default_gs: int, container_bits=None
+) -> Dict:
+    """Build the reference-format strategy dict from config-style entries.
+
+    ``entries`` are ``(bits, proportion[, group_size])`` tuples (the
+    optional third element overrides ``default_gs`` for that bit width —
+    e.g. w2 at g128 halves metadata bytes and gives the per-group dot the
+    MXU's native K=128).  Shared by ``LlamaConfig.mbwq_strategy`` consumers
+    (models/llama.py ``_proj`` and models/llama_loader.py) so the two
+    never diverge."""
+    bits, props, gss = [], [], {}
+    for entry in entries:
+        b, p = int(entry[0]), float(entry[1])
+        bits.append(b)
+        props.append(p)
+        gss[str(b)] = int(entry[2]) if len(entry) > 2 else int(default_gs)
+    strat = {"bits": bits, "bits_prop": props, "group_size": gss}
+    if container_bits:
+        strat["container_bits"] = {
+            str(kk): int(v) for kk, v in dict(container_bits).items()
+        }
+    return strat
+
+
 def _fit_group_size(requested: int, seg_k: int, w_bit: int) -> int:
     """Largest valid group size ≤ ``requested`` that divides the segment's K
     and keeps whole packed words per group (gs % (32/w_bit) == 0).  Uneven

@@ -369,6 +369,12 @@ _PAIR_TILE_TABLE = {
     (4096, 131072, 4): (2048, 2048), # lm_head pad 128*1024: 750 GB/s
     (4096, 129024, 4): (2048, 2048), # lm_head pad 63*2048 (0.6% pad bytes)
     (4096, 128256, 4): (4096, 256),  # unpadded llama3 head: 614 vs 461
+    # llama2-7B MBWQ w4 g64 segments (tools/autotune_tiles.py, v5e,
+    # 2026-08-20, m=8) — these small calls ran at the generic heuristic's
+    # 480-640 GB/s before
+    (1024, 4096, 4): (1024, 4096),   # o/qkv w4 segment: 1418 GB/s (vs 481)
+    (1024, 12288, 4): (1024, 1024),  # fused qkv w4 segment: 681 (vs 562)
+    (1024, 22528, 4): (1024, 2048),  # fused gate|up w4 segment: 680 (vs 641)
 }
 
 # v5e-tuned tiles for the A8 tpu_quad layout (round-4 probe-3 sweep, m=8,
@@ -379,6 +385,9 @@ _QUAD_TILE_TABLE = {
     (3072, 12288, 2): (3072, 4096),  # fused qkv w2 segment: 442 GB/s
     (8192, 4096, 2): (4096, 1024),   # down w2 segment: 388 GB/s
     (4096, 4096, 2): (2048, 1024),   # uniform-w2 q/o proj: 367 GB/s
+    # padded fused gate|up w2 segment (tools/autotune_tiles.py, v5e,
+    # 2026-08-20, m=8): 562 GB/s vs 431 with the generic heuristic
+    (3072, 22528, 2): (1536, 2048),
 }
 
 

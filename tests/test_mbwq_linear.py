@@ -125,3 +125,32 @@ def test_detect_perm_block():
     assert detect_perm_block(np.arange(256)) == 128
     # arbitrary act-order permutation: no block structure
     assert detect_perm_block(np.random.default_rng(1).permutation(256)) == 0
+
+
+def test_per_bit_group_sizes():
+    """Mixed per-bit group sizes: w4 at g64, w2 at g128 (the serving
+    operating point whose per-group dot K matches the MXU's native 128).
+    Segment group metadata and forward numerics must both be exact."""
+    w = _mk(k=1024, n=128)
+    strat = {"bits": [4, 2], "bits_prop": [0.25, 0.75], "group_size": {"4": 64, "2": 128}}
+    qt = quantize_mbwq(w, strat)
+    by_bits = {s.w_bit: s for s in qt.segments}
+    assert by_bits[4].group_size == 64 and by_bits[2].group_size == 128
+    # segment split is block-aligned to the larger group size
+    assert by_bits[2].in_features % 128 == 0
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 1024)).astype(np.float32))
+    out = mbwq_linear(x, qt)
+    ref = x @ dequantize_mbwq(qt, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_model_strategy_entry_with_group_size():
+    """LlamaConfig.mbwq_strategy entries accept (bits, prop, group_size)."""
+    from bitorch_engine_tpu.models.llama import LlamaModel, tiny_llama
+
+    cfg = tiny_llama(mbwq_strategy=((4, 0.25), (2, 0.75, 128)), group_size=64)
+    model = LlamaModel(cfg)
+    toks = jnp.ones((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    logits, _ = model.apply(params, toks, cache_len=jnp.zeros((), jnp.int32))
+    assert bool(jnp.isfinite(logits).all())
