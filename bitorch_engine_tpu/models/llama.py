@@ -740,8 +740,9 @@ class LlamaAttention(nn.Module):
                     interpret=_paged_kernel_mode() == "interpret",
                 )
                 if kv_quant:
-                    # post-update scale pools (dus chain above, overlapped
-                    # with the kernel — the kernel gathered pre-update)
+                    # post-update dense per-slot scale caches (dus above);
+                    # the kernel reads these post-update caches — bit-
+                    # identical to pre-update under its pos < cache_len mask
                     new_cache = kv_cache.replace(
                         k_pool=kp2, v_pool=vp2, k_scale=ksp, v_scale=vsp
                     )

@@ -171,7 +171,19 @@ def quantize_mbwq(
             raise ValueError(f"unsupported bits={b}; choose from {sorted(packing.CONTAINER_BITS)}")
         if container < b:
             raise ValueError(f"container_bits[{b}]={container} < code width")
-        gs = _fit_group_size(gs_map.get(b, base_gs), cnt * base_gs, container)
+        gs_req = gs_map.get(b, base_gs)
+        gs = _fit_group_size(gs_req, cnt * base_gs, container)
+        if gs != gs_req:
+            # surfaced so quality/perf labels (e.g. the ppl gate's
+            # "w2g128") reflect the group size actually run — a silent
+            # shrink here skews the attribution (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                f"mbwq segment w{b} (K={cnt * base_gs}): requested "
+                f"group_size {gs_req} does not divide; fitted to {gs}",
+                stacklevel=2,
+            )
         segments.append(
             quantize_mpq(
                 seg_w,

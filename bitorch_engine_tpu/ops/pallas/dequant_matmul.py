@@ -359,7 +359,7 @@ def _round_up(x: int, m: int) -> int:
 # TPU analogue of the reference's per-GPU CUTLASS tile-selection tables
 # (binary cutlass layer.py device tables).  Shapes: llama3-8B/llama2-7B
 # projections.  Fallback is the generic heuristic below.
-_PAIR_TILE_TABLE = {
+_PAIR_TILE_TABLE_BUILTIN = {
     (4096, 4096, 4): (4096, 512),    # q/o proj: 707 GB/s (vs 680 default)
     (4096, 14336, 4): (2048, 2048),  # gate/up: 731 GB/s (vs 651)
     (14336, 4096, 4): (2048, 2048),  # down:    688 GB/s incl meta
@@ -380,7 +380,7 @@ _PAIR_TILE_TABLE = {
 # v5e-tuned tiles for the A8 tpu_quad layout (round-4 probe-3 sweep, m=8,
 # bf16 metadata; tools/autotune_tiles.py --layout quad regenerates for new
 # chips/shapes).  Shapes: llama2-7B MBWQ-2.5 w2 segments (fused serving).
-_QUAD_TILE_TABLE = {
+_QUAD_TILE_TABLE_BUILTIN = {
     (3072, 4096, 2): (3072, 2048),   # o-proj w2 segment: 330 GB/s
     (3072, 12288, 2): (3072, 4096),  # fused qkv w2 segment: 442 GB/s
     (8192, 4096, 2): (4096, 1024),   # down w2 segment: 388 GB/s
@@ -389,6 +389,53 @@ _QUAD_TILE_TABLE = {
     # 2026-08-20, m=8): 562 GB/s vs 431 with the generic heuristic
     (3072, 22528, 2): (1536, 2048),
 }
+
+# Live tables = built-ins overlaid with measured entries from a JSON file,
+# closing the adopt-the-sweep loop (VERDICT r4 wp8: hand-editing source
+# meant new chips/shapes silently fell to the generic heuristic).
+# ``tools/autotune_tiles.py --write`` maintains the file; search order is
+# $BITORCH_TILE_TABLE, then the checked-in ``tile_tables.json`` next to
+# this module.  JSON schema: {"tpu_pair": {"K,N,WBIT": [ks, bn], ...},
+# "tpu_quad": {...}, "_meta": {...ignored provenance...}}.
+_PAIR_TILE_TABLE = dict(_PAIR_TILE_TABLE_BUILTIN)
+_QUAD_TILE_TABLE = dict(_QUAD_TILE_TABLE_BUILTIN)
+
+
+def tile_table_path() -> str:
+    import os
+
+    return os.environ.get("BITORCH_TILE_TABLE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tile_tables.json"
+    )
+
+
+def reload_tile_tables(path: Optional[str] = None) -> dict:
+    """Re-read the tile-table JSON and rebuild the live tables (built-ins
+    first, file entries overriding).  Called at import; call again after
+    writing a new file.  NOTE: tiles are resolved inside jitted calls, so
+    shapes already compiled in this process keep their old tiles."""
+    import json
+    import os
+
+    global _PAIR_TILE_TABLE, _QUAD_TILE_TABLE
+    path = path or tile_table_path()
+    pair = dict(_PAIR_TILE_TABLE_BUILTIN)
+    quad = dict(_QUAD_TILE_TABLE_BUILTIN)
+    loaded = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        for layout, tbl in ((("tpu_pair"), pair), (("tpu_quad"), quad)):
+            for key, val in (raw.get(layout) or {}).items():
+                k, n, wb = (int(v) for v in key.split(","))
+                tbl[(k, n, wb)] = (int(val[0]), int(val[1]))
+            loaded[layout] = len(raw.get(layout) or {})
+    _PAIR_TILE_TABLE = pair
+    _QUAD_TILE_TABLE = quad
+    return loaded
+
+
+reload_tile_tables()
 
 
 def _pick_tiles(
@@ -571,10 +618,15 @@ def _mpq_matmul_call(
         interpret=interpret,
     )(*operands)
     if zeros_outside:
-        # out -= xsums @ zeros, one plain f32 XLA dot per projection
-        # (zeros stream HBM→MXU exactly once; int32 activation group sums
-        # are order-exact; the convert of bf16-stored zeros fuses into
-        # the dot)
+        # out -= xsums @ zeros, one XLA f32 dot per projection (zeros
+        # stream HBM→MXU exactly once; int32 activation group sums are
+        # order-exact; the convert of bf16-stored zeros fuses into the
+        # dot).  precision=HIGHEST is load-bearing here exactly as in the
+        # legacy in-kernel form above: at default precision the MXU
+        # truncates the f32 operands to bf16, and per-group A8 sums reach
+        # gs·127 ≈ 8128 at g64 (not bf16-exact) while the correction
+        # partially cancels against the kernel output — the reason the
+        # kernel output stays f32.  Cost is negligible at decode m ≤ 8.
         xs2d = (
             x.astype(jnp.int32)
             .reshape(m_pad, nk * gpk, gs)
@@ -582,7 +634,10 @@ def _mpq_matmul_call(
             .astype(jnp.float32)
         )  # (m_pad, G)
         out = out - jnp.dot(
-            xs2d, zeros.astype(jnp.float32), preferred_element_type=jnp.float32
+            xs2d,
+            zeros.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         out = out.astype(out_dtype)
     if m_pad != m:

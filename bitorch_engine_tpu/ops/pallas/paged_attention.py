@@ -538,6 +538,12 @@ def merge_attention_parts(
     lane-broadcast f32; accs are (…, hd) f32 unnormalized.  Returns the
     normalized context in f32.
 
+    CONTRACT: full-width (…, hd) stats MUST be lane-broadcast (every lane
+    holds the same row max / sumexp — the paged kernel's broadcast output
+    form).  Genuine per-lane stats of width hd would be normalized
+    wrongly with no error; callers with real per-lane stats must reduce
+    to (…, 1) first.
+
     When the kernel's lane-broadcast stats already match ``hd`` (= 128),
     the arithmetic runs on them directly: a ``[..., :1]`` lane slice of a
     (…, 128) f32 array is a relayout copy XLA materializes per projection

@@ -104,7 +104,7 @@ def ring_row_parallel_mpq(
     by tests and as the template for wiring manual overlap into a serving
     step.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     d = mesh.shape[axis]
     k, n = qt.logical_shape
@@ -137,7 +137,7 @@ def ring_row_parallel_mpq(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=P(*lead, None),
-        check_rep=False,
+        check_vma=False,
     )
     if k % (d * qt.group_size):
         raise ValueError("K must split into whole groups per device")

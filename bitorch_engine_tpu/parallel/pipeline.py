@@ -33,9 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# see ring_attention.py: the promoted jax.shard_map enforces varying-axis
-# typing on loop carries; the experimental entry point is permissive
-from jax.experimental.shard_map import shard_map
+# the promoted jax.shard_map enforces varying-axis typing on loop carries;
+# check_vma=False (passed at the call site) keeps the permissive behavior
+# the deleted jax.experimental entry point had
+from jax import shard_map
 
 Array = jax.Array
 
@@ -113,6 +114,7 @@ def pipeline_apply(
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(),
+        check_vma=False,
     )(stage_params, xs)
     return out.reshape(b, *x.shape[1:])
 

@@ -23,8 +23,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 # NB: jax.shard_map (the promoted API) enforces varying-axis typing on loop
 # carries that would need pcast-to-varying plumbing on the streaming-softmax
-# accumulators; the experimental entry point has the permissive behavior.
-from jax.experimental.shard_map import shard_map
+# accumulators; check_vma=False at the call site keeps the permissive
+# behavior the deleted jax.experimental entry point had.
+from jax import shard_map
 
 Array = jax.Array
 

@@ -271,3 +271,39 @@ def test_dequant_kernel_matches_xla(w_bit, gs):
     got = dequant_mpq_pallas(qt, dtype=jnp.bfloat16, interpret=True)
     ref = quant.dequantize_mpq(qt, dtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_tile_table_json_loading(tmp_path, monkeypatch):
+    """Measured tile entries load from JSON ($BITORCH_TILE_TABLE) and
+    override/extend the built-ins; removing the file restores built-ins.
+    This is the adopt-the-sweep loop: tools/autotune_tiles.py --write
+    maintains the file, the kernel reads it at import (VERDICT r4 wp8)."""
+    import json
+
+    from bitorch_engine_tpu.ops.pallas import dequant_matmul as dm
+
+    path = tmp_path / "tiles.json"
+    json.dump(
+        {
+            "tpu_pair": {"1234,5678,4": [1024, 512]},
+            "tpu_quad": {"4096,4096,2": [4096, 2048]},
+            "_meta": {"v99x:2026-01-01": "test provenance"},
+        },
+        path.open("w"),
+    )
+    monkeypatch.setenv("BITORCH_TILE_TABLE", str(path))
+    try:
+        loaded = dm.reload_tile_tables()
+        assert loaded == {"tpu_pair": 1, "tpu_quad": 1}
+        # new entry appears; file overrides the built-in quad entry
+        assert dm._PAIR_TILE_TABLE[(1234, 5678, 4)] == (1024, 512)
+        assert dm._QUAD_TILE_TABLE[(4096, 4096, 2)] == (4096, 2048)
+        # built-ins survive the merge
+        assert (4096, 4096, 4) in dm._PAIR_TILE_TABLE
+    finally:
+        monkeypatch.delenv("BITORCH_TILE_TABLE")
+        dm.reload_tile_tables()
+    assert (1234, 5678, 4) not in dm._PAIR_TILE_TABLE
+    assert dm._QUAD_TILE_TABLE[(4096, 4096, 2)] == dm._QUAD_TILE_TABLE_BUILTIN[
+        (4096, 4096, 2)
+    ]

@@ -117,13 +117,17 @@ def sweep(shapes, layout, m, iters, reps):
         ks, bn, t = best
         if ks is not None and t < t0 * 0.98:  # only keep real wins
             entries.append(
-                f"    ({k}, {n}, {wb}): ({ks}, {bn}),"
-                f"  # {wbytes/t/1e9:.0f} GB/s (vs {wbytes/t0/1e9:.0f} default;"
-                f" {chip}, {stamp}, m={m})"
+                {
+                    "k": k, "n": n, "w_bit": wb, "ks": ks, "bn": bn,
+                    "gbs": round(wbytes / t / 1e9),
+                    "gbs_default": round(wbytes / t0 / 1e9)
+                    if t0 != float("inf") else None,
+                    "layout": qt.layout,
+                }
             )
         else:
             print(f"# {k}x{n}: default tiles already best — no entry", flush=True)
-    return chip, entries
+    return chip, stamp, entries
 
 
 def main():
@@ -133,17 +137,50 @@ def main():
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--iters", type=int, default=800)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--write",
+        nargs="?",
+        const="",
+        default=None,
+        help="merge winners into the tile-table JSON the kernel loads at "
+        "import (default path: ops/pallas/tile_tables.json, or "
+        "$BITORCH_TILE_TABLE; pass a path to override)",
+    )
     args = ap.parse_args()
     shapes = DEFAULT_SHAPES
     if args.shapes:
         shapes = [
             tuple(int(v) for v in s.split("x")) for s in args.shapes.split(",")
         ]
-    chip, entries = sweep(shapes, args.layout, args.m, args.iters, args.reps)
-    table = "_PAIR_TILE_TABLE" if args.layout == "pair" else "_QUAD_TILE_TABLE"
-    print(f"\n# paste into ops/pallas/dequant_matmul.py::{table} ({chip}):")
+    chip, stamp, entries = sweep(shapes, args.layout, args.m, args.iters, args.reps)
+    print(f"\n# winners ({chip}, {stamp}, m={args.m}):")
     for e in entries:
-        print(e)
+        print(
+            f"#   ({e['k']}, {e['n']}, {e['w_bit']}) [{e['layout']}]: "
+            f"({e['ks']}, {e['bn']})  # {e['gbs']} GB/s"
+            f" (vs {e['gbs_default']} default)"
+        )
+    if args.write is not None and entries:
+        import json
+
+        from bitorch_engine_tpu.ops.pallas import dequant_matmul as dm
+
+        path = args.write or dm.tile_table_path()
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        for e in entries:
+            tbl = data.setdefault(e["layout"], {})
+            tbl[f"{e['k']},{e['n']},{e['w_bit']}"] = [e["ks"], e["bn"]]
+        meta = data.setdefault("_meta", {})
+        meta[f"{chip}:{stamp}"] = (
+            f"autotune_tiles --layout {args.layout} --m {args.m}, "
+            f"{len(entries)} entries"
+        )
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        print(f"# wrote {len(entries)} entries -> {path}")
 
 
 if __name__ == "__main__":
