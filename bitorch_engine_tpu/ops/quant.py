@@ -175,6 +175,10 @@ def dequantize_mpq(qt: MPQTensor, dtype=jnp.bfloat16) -> Array:
         zeros = packing.unpack_cols(qt.zeros, qt.w_bit)  # (G, N) int, incl. +1
         g = _group_index(qt, k)
         w = qt.scales[g].astype(jnp.float32) * (q - zeros[g]).astype(jnp.float32)
+        if qt.g_idx is None and qt.q_perm is not None:
+            # canonicalized act-order GPTQ (ingest.mpq_from_gptq): rows are
+            # stored group-sorted; scatter back to logical order
+            w = jnp.zeros_like(w).at[qt.q_perm].set(w)
     else:
         g = _group_index(qt, k)
         w = (
@@ -337,6 +341,8 @@ def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = N
     g = _group_index(qt, k)
     scales = qt.scales[g].astype(jnp.float32)
     w = weight.astype(jnp.float32)
+    if qt.g_idx is None and qt.q_perm is not None:
+        w = w[qt.q_perm]  # gather into stored (permuted) order, ref :124-126
     if qt.asym:
         if unpacked_zeros is None:
             zeros = packing.unpack_cols(qt.zeros, qt.w_bit)
@@ -347,8 +353,6 @@ def repack_mpq(weight: Array, qt: MPQTensor, unpacked_zeros: Optional[Array] = N
         ).astype(jnp.int32)
     else:
         zeros = qt.zeros[g].astype(jnp.float32)
-        if qt.g_idx is None and qt.q_perm is not None:
-            w = w[qt.q_perm]  # gather into stored (permuted) order, ref :124-126
         intweight = jnp.clip(jnp.round((w + zeros) / scales), 0, maxq).astype(jnp.int32)
     return packing.pack_rows_layout(intweight, qt.w_bit, qt.group_size, qt.layout)
 
