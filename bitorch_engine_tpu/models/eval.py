@@ -204,6 +204,11 @@ def run_ppl_gate(
     quant_cfgs = {
         "w4g64": LlamaConfig(quantized=True, w_bit=4, group_size=64, **base),
         "w2g32": LlamaConfig(quantized=True, w_bit=2, group_size=32, **base),
+        # uniform 2-bit at g128 — the w2_decode bench arm's exact quality
+        # config (quarter the group bookkeeping, half the metadata bytes of
+        # g64; the "fewer bits ⇒ proportionally faster" demonstration):
+        # its damage vs w2g32 must be bounded for that arm to be honest
+        "w2g128": LlamaConfig(quantized=True, w_bit=2, group_size=128, **base),
         "mbwq_2p5": LlamaConfig(
             quantized=True,
             group_size=32,
@@ -252,7 +257,7 @@ def run_ppl_gate(
     # (act_bits_map={2: 8}).  The XLA fallback simulates the quad kernel's
     # quantization exactly (ops/mpq_linear.py), so this delta is the real
     # serving-quality cost of the A8 lever — gated against the A16 variant.
-    for name in ("mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32"):
+    for name in ("mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32", "w2g128"):
         cfg_q = quant_cfgs[name]
         params_q = relayout_params_for_tpu(
             quantize_llama_params(params_fp, cfg_q),

@@ -46,6 +46,13 @@ MAX_FUSED_ROWS = 512
 
 
 def _use_pallas() -> bool:
+    """Kernel dispatch gate.  BITORCH_NO_PALLAS=1 forces the XLA fallback —
+    read at TRACE time, so A/B gates (tools/quad_gate.py) must build
+    separate jit instances per setting."""
+    import os
+
+    if os.environ.get("BITORCH_NO_PALLAS", "0") == "1":
+        return False
     return jax.default_backend() == "tpu"
 
 

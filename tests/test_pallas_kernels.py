@@ -75,7 +75,9 @@ def test_kernel_llm_shape_bf16():
     )
 
 
-@pytest.mark.parametrize("w_bit,gs", [(1, 32), (2, 32), (2, 64), (4, 128)])
+@pytest.mark.parametrize(
+    "w_bit,gs", [(1, 32), (2, 32), (2, 64), (2, 128), (4, 128)]
+)
 @pytest.mark.parametrize("m", [1, 8])
 def test_kernel_a8_quad_matches_quantized_reference(w_bit, gs, m):
     """A8 regime (act_bits=8, tpu_quad layout): the int8-MXU kernel must

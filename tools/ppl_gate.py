@@ -68,6 +68,15 @@ assert (
 assert (
     out["rel_delta_mbwq_2p5g64_a8"] < out["rel_delta_w2g32"] + 0.01
 ), "mbwq-2.5 gs64 exceeds the uniform-w2g32 damage band"
+# the uniform-w2g128 serving point (bench w2_decode arm): coarser groups
+# cost quality — bounded at the w2g32 damage + a 2% band, and its A8
+# variant must stay within the usual 1% noise band of A16
+assert (
+    out["rel_delta_w2g128"] < out["rel_delta_w2g32"] + 0.02
+), "uniform w2g128 exceeds the w2g32 damage band"
+assert (
+    out["rel_delta_w2g128_a8"] < out["rel_delta_w2g128"] + 0.01
+), "A8 activations exceed the noise band over A16 (w2g128)"
 print("PPL GATE PASSED: w4 delta "
       f"{100*out['rel_delta_w4g64']:.2f}% < 5%; w4 < mbwq2.5 ~ w2; "
       f"A8 delta +{100*(out['rel_delta_mbwq_2p5_a8']-out['rel_delta_mbwq_2p5']):.2f}% vs A16")
