@@ -417,3 +417,43 @@ def test_mpq_from_gba_dq_mode1():
     exp_zeros = ((qs % 16) - tensors["qzeros_zeros"]) * tensors["qzeros_scales"]
     np.testing.assert_allclose(np.asarray(qt.scales), exp_scales, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(qt.zeros), exp_zeros.reshape(g, n), rtol=1e-6)
+
+
+def test_checkpoint_template_free_restore(tmp_path):
+    """load_checkpoint(path) with NO template rebuilds the full pytree
+    (QTensor statics + array shapes/dtypes) from the qtensor_spec.json the
+    save wrote — the promised template-free restore (VERDICT r4 ns-7;
+    reference tolerant-restore: mbwq_layer.py:205-237)."""
+    from bitorch_engine_tpu.ops.mbwq_linear import quantize_mbwq, strategy_dict
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.05
+    qt = quant.quantize_mpq(jnp.asarray(w), w_bit=4, group_size=32, asym=True)
+    mb = quantize_mbwq(
+        jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32) * 0.05),
+        strategy_dict([(4, 0.5), (2, 0.5)], 32),
+    )
+    params = {
+        "layer": {"qweight": qt, "bias": jnp.zeros((64,), jnp.bfloat16)},
+        "mix": {"w": mb},
+    }
+    path = str(tmp_path / "ckpt2")
+    save_checkpoint(path, params)
+    restored = load_checkpoint(path)  # no template
+    r_qt = restored["layer"]["qweight"]
+    assert r_qt.w_bit == 4 and r_qt.group_size == 32 and r_qt.asym
+    assert r_qt.packed.dtype == qt.packed.dtype
+    np.testing.assert_array_equal(np.asarray(r_qt.packed), np.asarray(qt.packed))
+    assert restored["layer"]["bias"].dtype == jnp.bfloat16
+    r_mb = restored["mix"]["w"]
+    assert len(r_mb.segments) == len(mb.segments)
+    assert [s.w_bit for s in r_mb.segments] == [s.w_bit for s in mb.segments]
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize_mpq(r_mb.segments[0], jnp.float32)),
+        np.asarray(quant.dequantize_mpq(mb.segments[0], jnp.float32)),
+    )
+    # the legacy template path still works
+    restored2 = load_checkpoint(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(restored2["layer"]["qweight"].packed), np.asarray(qt.packed)
+    )
