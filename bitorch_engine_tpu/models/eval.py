@@ -204,10 +204,13 @@ def run_ppl_gate(
     quant_cfgs = {
         "w4g64": LlamaConfig(quantized=True, w_bit=4, group_size=64, **base),
         "w2g32": LlamaConfig(quantized=True, w_bit=2, group_size=32, **base),
-        # uniform 2-bit at g128 — the w2_decode bench arm's exact quality
-        # config (quarter the group bookkeeping, half the metadata bytes of
-        # g64; the "fewer bits ⇒ proportionally faster" demonstration):
-        # its damage vs w2g32 must be bounded for that arm to be honest
+        # uniform 2-bit at g64/g128 — w2_decode bench arm candidates (the
+        # "fewer bits ⇒ proportionally faster" demonstration).  Measured
+        # damage (h512/L4/800st proxy): g32 +1.72%, g64 +2.6%, g128 +4.3%
+        # — uniform w2 lacks MBWQ's w4 protection of the sensitive rows,
+        # so coarser groups bite hard; the bench arm's config must carry
+        # its measured delta wherever cited
+        "w2g64": LlamaConfig(quantized=True, w_bit=2, group_size=64, **base),
         "w2g128": LlamaConfig(quantized=True, w_bit=2, group_size=128, **base),
         "mbwq_2p5": LlamaConfig(
             quantized=True,
@@ -257,7 +260,9 @@ def run_ppl_gate(
     # (act_bits_map={2: 8}).  The XLA fallback simulates the quad kernel's
     # quantization exactly (ops/mpq_linear.py), so this delta is the real
     # serving-quality cost of the A8 lever — gated against the A16 variant.
-    for name in ("mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32", "w2g128"):
+    for name in (
+        "mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32", "w2g64", "w2g128"
+    ):
         cfg_q = quant_cfgs[name]
         params_q = relayout_params_for_tpu(
             quantize_llama_params(params_fp, cfg_q),
