@@ -455,9 +455,13 @@ def mbwq_decode():
     # g32 (measured 7.65 vs 9.63 ms/step, round-4 probe-5 A/B); quality is
     # bounded by the ppl gate's rel_delta_mbwq_2p5g64_a8 band (+1.22%, on
     # par with g32's +1.26%).  BENCH_MBWQ_GS=32 reverts.
+    # per-bit override for the w2 segments (BENCH_MBWQ_W2GS): g128 runs the
+    # w2 dots at the MXU's native K and quarters group bookkeeping (the
+    # round-5 uniform-w2 lever); quality bounded by rel_delta_mbwq_2p5_w2g128
+    w2gs = int(os.environ.get("BENCH_MBWQ_W2GS", "0"))
     cfg = llama2_7b(
         dtype=jnp.bfloat16,
-        mbwq_strategy=((4, 0.25), (2, 0.75)),
+        mbwq_strategy=((4, 0.25), (2, 0.75, w2gs) if w2gs else (2, 0.75)),
         group_size=int(os.environ.get("BENCH_MBWQ_GS", "64")),
         max_seq_len=CACHE_LEN,
         kv_cache_dtype="int8",

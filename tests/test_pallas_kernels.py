@@ -305,7 +305,8 @@ def test_tile_table_json_loading(tmp_path, monkeypatch):
     finally:
         monkeypatch.delenv("BITORCH_TILE_TABLE")
         dm.reload_tile_tables()
+    # default state restored: the test entry is gone, and the quad entry is
+    # whatever the checked-in default tile_tables.json (or builtin) says —
+    # NOT the temp file's value
     assert (1234, 5678, 4) not in dm._PAIR_TILE_TABLE
-    assert dm._QUAD_TILE_TABLE[(4096, 4096, 2)] == dm._QUAD_TILE_TABLE_BUILTIN[
-        (4096, 4096, 2)
-    ]
+    assert dm._QUAD_TILE_TABLE[(4096, 4096, 2)] != (4096, 2048)
