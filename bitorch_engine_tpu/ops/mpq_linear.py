@@ -90,11 +90,24 @@ def _mpq_forward(x: Array, qt: MPQTensor) -> Array:
         # against dequantized weights is algebraically identical to the
         # kernel's code dot + zeros correction), so CPU tests and the
         # perplexity gate measure the same numbers the TPU kernel produces.
+        # precision=HIGHEST: the kernel accumulates integer codes EXACTLY
+        # (int8 MXU, int32 accumulate); at default precision this f32 dot
+        # would bf16-truncate the dequantized weights on TPU and the
+        # "simulation" would be the noisier side of the comparison
+        # (tools/quad_gate.py measured 7.7% model-level drift from it).
         xf = x2d.astype(jnp.float32)
         sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
         qx = jnp.round(xf / sx)
         w = reconstruct_weight(qt, dtype=jnp.float32)
-        out = ((qx @ w) * sx).astype(x.dtype)
+        out = (
+            jnp.dot(
+                qx,
+                w,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * sx
+        ).astype(x.dtype)
         return out.reshape(*lead, -1)
 
     w = reconstruct_weight(qt, dtype=x.dtype)  # (K, N)

@@ -54,8 +54,8 @@ DEFAULT_SHAPES = [
     (8192, 4096, 2, 32),
 ]
 
-KS_CANDS = (512, 1024, 1536, 2048, 3072, 4096, 8192)
-BN_CANDS = (256, 512, 1024, 2048, 4096)
+KS_CANDS = (512, 1024, 1536, 2048, 3072, 3584, 4096, 7168, 8192, 14336)
+BN_CANDS = (256, 512, 1024, 1536, 2048, 3072, 4096, 7168)
 
 
 def sweep(shapes, layout, m, iters, reps):
