@@ -80,14 +80,29 @@ def _binary_forward_math(x, qt: BinaryQTensor, scale_a, bias_a):
         kw = qt.data.shape[1]
         lead = xs.shape[:-1]
         x2d = xs.reshape(-1, k)
-        xp, _ = packing.pad_to_multiple(x2d, 1, 32, value=-1.0)
-        x_packed = packing.pack_signs(xp)
-        if jax.default_backend() == "tpu":
+        # Adaptive dispatch (the reference's m-dependent kernel pick,
+        # binary_linear_cuda_kernel.cu:612-626), measured on v5e (4096²,
+        # same-process A/B, BENCH_NOTES round 5): the packed-VPU popcount
+        # GEMV reads 1/16 the weight bytes and wins while HBM-bound —
+        # 18.2 vs 47.0 µs at m=8 (0.39×) — but scales with m on the VPU
+        # and loses by m=32 (66.2 vs 45.9 µs).  Past the crossover,
+        # unpacking signs to bf16 once (~2 bytes/weight of extra traffic)
+        # and riding the MXU is faster.
+        if jax.default_backend() == "tpu" and x2d.shape[0] <= 16:
             from .pallas.binary_gemm import xnor_gemm_pallas
 
-            y = xnor_gemm_pallas(x_packed, qt.data, k)
+            xp, _ = packing.pad_to_multiple(x2d, 1, 32, value=-1.0)
+            y = xnor_gemm_pallas(packing.pack_signs(xp), qt.data, k)
+        elif jax.default_backend() == "tpu":
+            w_sign = packing.unpack_signs(qt.data, jnp.bfloat16)[:, :k]  # (N, K)
+            y = jnp.dot(
+                _sign_pm1(x2d).astype(jnp.bfloat16),
+                w_sign.T,
+                preferred_element_type=jnp.float32,
+            )
         else:
-            y = xnor_popcount_mm(x_packed, qt.data, kw * 32)
+            xp, _ = packing.pad_to_multiple(x2d, 1, 32, value=-1.0)
+            y = xnor_popcount_mm(packing.pack_signs(xp), qt.data, kw * 32)
             # padding bits in both operands are -1 → contribute +1 each
             y = y - (kw * 32 - k)
         y = y.reshape(*lead, -1)

@@ -65,10 +65,24 @@ def sweep(shapes, layout, m, iters, reps):
         relayout_tpu,
     )
     from bitorch_engine_tpu.utils.benchmark import time_op
-    from bitorch_engine_tpu.utils.profiling import detect_chip
+    from bitorch_engine_tpu.utils.profiling import CHIP_SPECS, detect_chip
 
     chip = detect_chip()
     stamp = time.strftime("%Y-%m-%d")
+    # physicality guard: a differential-loop reading implying more than
+    # ~1.05x the chip's HBM bandwidth is a collapsed slope (tunnel-jitter
+    # artifact; time_op floors at 1e-9 s) — retry once, then discard the
+    # candidate rather than adopt a fiction into the table
+    peak_gbps = CHIP_SPECS.get(chip, CHIP_SPECS["v5e"])["hbm_gbps"]
+
+    def timed_valid(f, x, qt, wbytes, iters, reps):
+        floor = wbytes / (1.05 * peak_gbps * 1e9)
+        for _ in range(2):
+            t = time_op(f, x, qt, iters=iters, reps=reps)
+            if t >= floor:
+                return t
+        return None
+
     entries = []
     for (k, n, wb, gs) in shapes:
         w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32) * 0.02
@@ -82,7 +96,7 @@ def sweep(shapes, layout, m, iters, reps):
         f0 = lambda x, qt: mpq_matmul_pallas(x, qt)
         try:
             np.asarray(f0(x, qt))
-            t0 = time_op(f0, x, qt, iters=iters, reps=reps)
+            t0 = timed_valid(f0, x, qt, wbytes, iters, reps) or float("inf")
         except Exception as e:
             print(f"# {k}x{n} w{wb} g{gs}: default FAILED {type(e).__name__}", flush=True)
             t0 = float("inf")
@@ -102,8 +116,11 @@ def sweep(shapes, layout, m, iters, reps):
                 )
                 try:
                     np.asarray(f(x, qt))
-                    t = time_op(f, x, qt, iters=iters, reps=reps)
+                    t = timed_valid(f, x, qt, wbytes, iters, reps)
                 except Exception:
+                    continue
+                if t is None:
+                    print(f"#   ks{ks:<5d} bn{bn:<5d}: discarded (non-physical reading)", flush=True)
                     continue
                 mark = ""
                 if t < best[2]:

@@ -13,6 +13,17 @@ decode steps of a uniform-w2g128 A8 model — one dispatching the Pallas
 quad kernel, one traced under BITORCH_NO_PALLAS=1 (the XLA simulation) —
 and asserts the per-step max relative logit error stays under ``tol``.
 
+NO FEEDBACK COMPOUNDING: the kernel path owns the trajectory; every step
+the XLA instance consumes the kernel path's *pre-step caches* and its
+cache outputs are discarded, so the comparison is pure per-step kernel
+numerics.  (The first gate design let each path evolve its own KV caches;
+on a random-weight model that chaos-amplifies ~1e-5 per-call differences
+to percent-level logit divergence within 32 steps — measured 4.8e-2 even
+with both sides at f32 HIGHEST precision — which says nothing about the
+kernel.  The paged gate keeps the two-trajectory form because its two
+KERNEL paths share reduction-order-level math; here the reference side is
+a different algorithm entirely.)
+
 Run standalone on the chip (``python tools/quad_gate.py``) or from
 ``bench.py``'s w2 arm (result recorded in the bench JSON).
 """
@@ -26,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 
-def run_quad_logits_gate(steps: int = 32, batch: int = 8, tol: float = 2.5e-2):
+def run_quad_logits_gate(steps: int = 32, batch: int = 8, tol: float = 5e-3):
     """Returns ``{"max_rel": float, "steps": int, "tol": float, "ok": bool}``."""
     from bitorch_engine_tpu.models.llama import (
         LlamaConfig,
@@ -59,6 +70,9 @@ def run_quad_logits_gate(steps: int = 32, batch: int = 8, tol: float = 2.5e-2):
     )
 
     def make_step():
+        # no donation: the xla instance reads the kernel path's caches
+        # without consuming them, and the kernel path's caches survive to
+        # be passed to both instances each step
         @functools.partial(jax.jit, static_argnames=("win",))
         def step(params, tok, caches, pos, win):
             positions = jnp.broadcast_to(pos, (batch, 1)).astype(jnp.int32)
@@ -74,31 +88,32 @@ def run_quad_logits_gate(steps: int = 32, batch: int = 8, tol: float = 2.5e-2):
     step_xla = make_step()
 
     kern = init_kv_caches(cfg, batch, cache_len)
-    xla = init_kv_caches(cfg, batch, cache_len)
 
     # BITORCH_NO_PALLAS is read at TRACE time: compile each instance under
-    # its own setting before the timed/compared loop
+    # its own setting before the compared loop
     toks = jax.random.randint(
         jax.random.PRNGKey(1), (steps + 1, batch, 1), 0, cfg.vocab_size
     ).astype(jnp.int32)
     assert os.environ.get("BITORCH_NO_PALLAS", "0") != "1"
-    lk, kern = step_kernel(params, toks[0], kern, jnp.asarray(0, jnp.int32), window)
-    os.environ["BITORCH_NO_PALLAS"] = "1"
-    try:
-        lx, xla = step_xla(params, toks[0], xla, jnp.asarray(0, jnp.int32), window)
-    finally:
-        del os.environ["BITORCH_NO_PALLAS"]
 
     def rel(a, b):
         num = float(jnp.max(jnp.abs(a - b)))
         den = float(jnp.max(jnp.abs(a))) + 1e-9
         return num / den
 
-    max_rel = rel(lx, lk)
-    for i in range(1, steps):
+    max_rel = 0.0
+    for i in range(steps):
         tok = toks[i]
+        if i == 0:
+            os.environ["BITORCH_NO_PALLAS"] = "1"
+            try:
+                # trace the xla instance first (env read at trace time)
+                lx, _ = step_xla(params, tok, kern, jnp.asarray(i, jnp.int32), window)
+            finally:
+                del os.environ["BITORCH_NO_PALLAS"]
+        else:
+            lx, _ = step_xla(params, tok, kern, jnp.asarray(i, jnp.int32), window)
         lk, kern = step_kernel(params, tok, kern, jnp.asarray(i, jnp.int32), window)
-        lx, xla = step_xla(params, tok, xla, jnp.asarray(i, jnp.int32), window)
         max_rel = max(max_rel, rel(lx, lk))
     return {"max_rel": max_rel, "steps": steps, "tol": tol, "ok": max_rel < tol}
 
