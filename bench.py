@@ -836,7 +836,7 @@ def main():
         def _qgate():
             from tools.quad_gate import run_quad_logits_gate
 
-            return run_quad_logits_gate(steps=32)
+            return run_quad_logits_gate()
 
         qgate, qerr = _arm("quad_logits_gate", _qgate)
         qgate_extra = (
@@ -849,8 +849,9 @@ def main():
         )
         if qgate is not None:
             print(
-                f"# quad logits gate: max rel {qgate['max_rel']:.2e} over "
-                f"{qgate['steps']} steps (tol {qgate['tol']}) -> "
+                f"# quad kernel gate (f32, pre-cast): max rel "
+                f"{qgate['max_rel']:.2e} over {qgate['shapes']} shapes "
+                f"(tol {qgate['tol']}) -> "
                 f"{'OK' if qgate['ok'] else 'DRIFT'}",
                 file=sys.stderr,
             )

@@ -390,28 +390,15 @@ class LlamaAttention(nn.Module):
         full_read = False
         kernel_wb = False
         if isinstance(kv_cache, PagedKV):
-            full_read = attn_window is None or attn_window >= kv_cache.view_len
-            page, off = paged_write_positions(kv_cache, cache_len, b, s)
-            tbl = kv_cache.page_table
-            ps = kv_cache.page_size
-            if not full_read:
-                # read only the pages covering the window (writes use the
-                # full table); window 0 = prefill-from-empty, no gather
-                tbl = tbl[:, : max(0 if attn_window == 0 else 1, -(-attn_window // ps))]
-            prefix_len = tbl.shape[1] * ps
-
-            # decode steps on the Pallas paged path fuse the cache WRITE
-            # into the kernel (in-place page writeback via
-            # input_output_aliases) — every XLA-side pool write form has a
-            # measured pathology at some batch size (BENCH_NOTES r3).
-            # Contract: attn_window > max(cache_len) puts the write page
-            # inside the window's table slice.
             import os as _os
 
-            kernel_wb = (
-                not full_read
-                and prefix_len > 0
-                and s == 1
+            want_full = attn_window is None or attn_window >= kv_cache.view_len
+            # decode steps are Pallas-kernel eligible; a full-allocation
+            # window then runs through the kernel with window = view_len
+            # (round-5: the whole-window gather materialized + re-read the
+            # entire KV view every step — the kernel reads pages once)
+            kernel_ok = (
+                s == 1
                 and hd % 128 == 0
                 and _paged_kernel_mode() != "0"
                 and (
@@ -420,6 +407,26 @@ class LlamaAttention(nn.Module):
                 )
                 and _os.environ.get("BITORCH_PAGED_WRITEBACK", "1") != "0"
             )
+            full_read = want_full and not kernel_ok
+            eff_window = (
+                kv_cache.view_len if (want_full and kernel_ok) else attn_window
+            )
+            page, off = paged_write_positions(kv_cache, cache_len, b, s)
+            tbl = kv_cache.page_table
+            ps = kv_cache.page_size
+            if not full_read:
+                # read only the pages covering the window (writes use the
+                # full table); window 0 = prefill-from-empty, no gather
+                tbl = tbl[:, : max(0 if eff_window == 0 else 1, -(-eff_window // ps))]
+            prefix_len = tbl.shape[1] * ps
+
+            # decode steps on the Pallas paged path fuse the cache WRITE
+            # into the kernel (in-place page writeback via
+            # input_output_aliases) — every XLA-side pool write form has a
+            # measured pathology at some batch size (BENCH_NOTES r3).
+            # Contract: attn_window > max(cache_len) puts the write page
+            # inside the window's table slice.
+            kernel_wb = kernel_ok and not full_read and prefix_len > 0
 
             def gather(pool):
                 # rank-3 KV pool (pages, ps, nkv·hd) → (b, P·ps, nkv, hd)
