@@ -457,8 +457,11 @@ def mbwq_decode():
     # par with g32's +1.26%).  BENCH_MBWQ_GS=32 reverts.
     # per-bit override for the w2 segments (BENCH_MBWQ_W2GS): g128 runs the
     # w2 dots at the MXU's native K and quarters group bookkeeping (the
-    # round-5 uniform-w2 lever); quality bounded by rel_delta_mbwq_2p5_w2g128
-    w2gs = int(os.environ.get("BENCH_MBWQ_W2GS", "0"))
+    # round-5 uniform-w2 lever).  Default 128: measured 1295 vs 1188 tok/s
+    # at g64 (same-process A/B, round 5); quality bounded by the ppl
+    # gate's rel_delta_mbwq_2p5_w2g128 (+1.30%, vs +1.21% at g64).
+    # BENCH_MBWQ_W2GS=0 reverts to the uniform-gs strategy.
+    w2gs = int(os.environ.get("BENCH_MBWQ_W2GS", "128"))
     cfg = llama2_7b(
         dtype=jnp.bfloat16,
         mbwq_strategy=((4, 0.25), (2, 0.75, w2gs) if w2gs else (2, 0.75)),
@@ -571,23 +574,33 @@ def prefill_arm(seq=512):
     def prefill(params, toks, caches):
         positions = jnp.broadcast_to(jnp.arange(seq, dtype=jnp.int32), (BATCH, seq))
         # attn_window=0: prefill-from-empty — pure causal (flash) attention,
-        # no cache read, KV written into the donated caches
+        # no cache read, KV written into the donated caches.  The scalar
+        # logits reduction keeps the per-call fetch tiny; fetching it
+        # forces the whole computation (the head matmul feeds it).
         logits, caches = model.apply(
             params, toks, positions=positions, kv_caches=caches,
             cache_len=jnp.asarray(0, jnp.int32), attn_window=0,
         )
-        return logits[:, -1].astype(jnp.float32), caches
+        return jnp.sum(logits[:, -1].astype(jnp.float32)), caches
 
-    def once():
+    def run(n):
+        # n chained prefills, ONE host sync at the end: per-dispatch RPC
+        # latency (hundreds of ms through this sandbox's TPU tunnel —
+        # round-5 trace: 714 ms wall vs ~450 ms device busy) amortizes,
+        # like the decode arms' 50-steps-per-sync loops
         caches = init_kv_caches(cfg, BATCH, CACHE_LEN)
+        sums = []
         t0 = time.time()
-        logits, caches = prefill(params, toks, caches)
-        float(logits[0, 0])  # fetch forces completion
-        return time.time() - t0
+        for _ in range(n):
+            s, caches = prefill(params, toks, caches)
+            sums.append(s)
+        for s in sums:  # fetch all: earlier heads must not be DCE-able
+            float(s)
+        return (time.time() - t0) / n
 
-    once()  # compile + settle
-    once()
-    return min(once(), once(), once())
+    run(1)  # compile + settle
+    run(2)
+    return min(run(3), run(3))
 
 
 def train_step_arm(seq=2048):
