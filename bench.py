@@ -208,14 +208,19 @@ def e2e_decode(
         return dt
 
     timed(10)  # settle
-    dt = min(timed(50), timed(50))
+    # repeat-and-spread: median of 3 same-compile chunks (the headline
+    # moved 1176-1203 across round-5 captures on min-of-2; median over 3
+    # is the sturdier statistic).  Windowed positions 11..160 all stay in
+    # the first 256 bucket.
+    import statistics
+
+    dt = statistics.median(timed(50) for _ in range(3))
     # secondary: the same step reading the FULL cache allocation (long-
     # context operating point; its roofline includes all CACHE_LEN KV bytes)
     full = None
     if windowed and measure_full:
         windowed = False
-        full = min(timed(50), timed(50))
-    # the timed positions (11..110) all fall in the first bucket
+        full = statistics.median(timed(50) for _ in range(3))
     return dt, (256 if windowed or full is not None else CACHE_LEN), full
 
 
