@@ -122,6 +122,10 @@ class MPQLinear(nn.Module):
     group_size: int = 128
     asym: bool = False
     use_bias: bool = False
+    # exl2-style symmetric-midpoint quantization (zeros ≡ mid·scales):
+    # enables the quad kernel's signed-code regime (no zeros correction);
+    # slightly coarser than affine min-max on skewed groups — ppl-gated
+    mid_sym: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -132,7 +136,8 @@ class MPQLinear(nn.Module):
         def init_qweight(key):
             w = _kaiming_uniform(key, (self.out_features, k)).T  # logical (K, N)
             return quant.quantize_mpq(
-                w, w_bit=self.w_bit, group_size=gs, asym=self.asym
+                w, w_bit=self.w_bit, group_size=gs, asym=self.asym,
+                mid_sym=self.mid_sym,
             )
 
         qweight: MPQTensor = self.param("qweight", init_qweight)

@@ -212,6 +212,20 @@ def run_ppl_gate(
         # its measured delta wherever cited
         "w2g64": LlamaConfig(quantized=True, w_bit=2, group_size=64, **base),
         "w2g128": LlamaConfig(quantized=True, w_bit=2, group_size=128, **base),
+        # symmetric-midpoint variants (zeros ≡ mid·scales): the quad
+        # kernel's signed-code regime with zero correction removed — its
+        # quality cost vs the affine min-max form must be bounded before
+        # the serving arms switch (round-5 trace: ~185 µs/step saved)
+        "w2g128_midsym": LlamaConfig(
+            quantized=True, w_bit=2, group_size=128, quant_mid_sym=True, **base
+        ),
+        "mbwq_2p5_midsym": LlamaConfig(
+            quantized=True,
+            group_size=64,
+            mbwq_strategy=((4, 0.25), (2, 0.75, 128)),
+            quant_mid_sym=True,
+            **base,
+        ),
         "mbwq_2p5": LlamaConfig(
             quantized=True,
             group_size=32,
@@ -261,7 +275,8 @@ def run_ppl_gate(
     # quantization exactly (ops/mpq_linear.py), so this delta is the real
     # serving-quality cost of the A8 lever — gated against the A16 variant.
     for name in (
-        "mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32", "w2g64", "w2g128"
+        "mbwq_2p5", "mbwq_2p5g64", "mbwq_2p5_w2g128", "w2g32", "w2g64", "w2g128",
+        "w2g128_midsym", "mbwq_2p5_midsym",
     ):
         cfg_q = quant_cfgs[name]
         params_q = relayout_params_for_tpu(

@@ -54,6 +54,12 @@ class LlamaConfig:
     # stores the 2-bit codes in 4-bit containers (identical quantization
     # values; see ops/mbwq_linear.py::quantize_mbwq for the v5e trade)
     mbwq_container_bits: Any = struct.field(pytree_node=False, default=None)
+    # exl2-style symmetric-midpoint quantization for all projections
+    # (zeros ≡ mid·scales): the A8 quad kernel then runs signed codes and
+    # the zeros correction disappears (~185 µs/step of XLA reduces on the
+    # uniform-w2 8B step, round-5 trace).  Quality-gated: ppl proxy
+    # rel_delta_w2g128_midsym vs the affine form.
+    quant_mid_sym: bool = struct.field(pytree_node=False, default=False)
     # Pallas flash attention for prefill (TPU only; decode keeps the
     # KV-cache einsum path). Greenfield vs the reference's O(L²) BMHA
     # softmax (SURVEY.md §5 long-context row).
@@ -287,7 +293,8 @@ def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False
         # strategy entries are (bits, proportion[, group_size]) — see
         # ops/mbwq_linear.py::strategy_dict
         strategy = strategy_dict(
-            cfg.mbwq_strategy, cfg.group_size, cfg.mbwq_container_bits
+            cfg.mbwq_strategy, cfg.group_size, cfg.mbwq_container_bits,
+            mid_sym=cfg.quant_mid_sym,
         )
         return MBWQLinear(out_features, strategy=strategy, dtype=cfg.dtype, name=name)
     if cfg.quantized:
@@ -297,6 +304,7 @@ def _proj(cfg: LlamaConfig, out_features: int, name: str, use_bias: bool = False
             group_size=cfg.group_size,
             asym=cfg.asym,
             use_bias=use_bias,
+            mid_sym=cfg.quant_mid_sym,
             dtype=cfg.dtype,
             name=name,
         )

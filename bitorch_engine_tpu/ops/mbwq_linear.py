@@ -35,7 +35,7 @@ Array = jax.Array
 
 
 def strategy_dict(
-    entries, default_gs: int, container_bits=None
+    entries, default_gs: int, container_bits=None, mid_sym: bool = False
 ) -> Dict:
     """Build the reference-format strategy dict from config-style entries.
 
@@ -56,6 +56,8 @@ def strategy_dict(
         strat["container_bits"] = {
             str(kk): int(v) for kk, v in dict(container_bits).items()
         }
+    if mid_sym:
+        strat["mid_sym"] = True
     return strat
 
 
@@ -128,6 +130,9 @@ def quantize_mbwq(
     # only add bytes (BENCH_NOTES round 3).  Kept as an experiment knob
     # and for formats that prescribe container widths.
     cont_map = {int(kk): int(v) for kk, v in strategy.get("container_bits", {}).items()}
+    # "mid_sym": exl2-style symmetric-midpoint per-segment quantization
+    # (zeros ≡ mid·scales ⇒ the quad kernel's signed-code regime)
+    mid_sym = bool(strategy.get("mid_sym", False))
     base_gs = min(gs_map.values()) if gs_map else 32
 
     k, n = weight.shape
@@ -191,6 +196,7 @@ def quantize_mbwq(
                 group_size=gs,
                 asym=False,
                 code_bits=None if container == b else b,
+                mid_sym=mid_sym,
             )
         )
         start += cnt

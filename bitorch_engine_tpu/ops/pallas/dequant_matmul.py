@@ -104,6 +104,23 @@ def relayout_tpu(qt: MPQTensor, meta_dtype=None, act_bits=None) -> MPQTensor:
         S = packing.quad_superblock_groups(qt.w_bit)
         if (qt.in_features // qt.group_size) % S != 0:
             qt = qt.replace(act_bits=16)
+    if (
+        qt.act_bits == 8
+        and not qt.asym
+        and not qt.zeros_mid
+        and qt.w_bit in packing.QUAD_BITS
+        and not isinstance(qt.zeros, jax.core.Tracer)
+    ):
+        # detect the exl2 symmetric-midpoint form (zeros ≡ mid·scales
+        # exactly) on concrete tensors at load time: the quad kernel then
+        # runs signed codes and drops the whole zeros correction
+        import numpy as _np
+
+        mid = 2 ** ((qt.code_bits or qt.w_bit) - 1)
+        if _np.array_equal(
+            _np.asarray(qt.zeros), mid * _np.asarray(qt.scales, _np.float32)
+        ):
+            qt = qt.replace(zeros_mid=True)
     target = _kernel_layout(qt.w_bit, qt.act_bits)
     if qt.layout == target:
         if meta_dtype is not None and qt.scales.dtype != meta_dtype:
@@ -173,7 +190,7 @@ def _unpack_group_to_dtype(words, w_bit: int, layout: str, dtype):
     return jnp.concatenate(tiles, axis=0).astype(dtype)
 
 
-def _unpack_kstep_quad_tiles(packed, w_bit: int):
+def _unpack_kstep_quad_tiles(packed, w_bit: int, mid: int = 0):
     """Whole-K-step tpu_quad unpack, zero-copy form: (gpk·bkp, bn) uint32 →
     list of ``8/w_bit`` int8 tile arrays, each (gpk·gs·w_bit/8, bn).
 
@@ -190,13 +207,20 @@ def _unpack_kstep_quad_tiles(packed, w_bit: int):
     """
     ppw = 32 // w_bit
     qmask = jnp.uint32(((1 << w_bit) - 1) * 0x01010101)
-    return [
+    tiles = [
         pltpu.bitcast(
             lax.shift_right_logical(packed, jnp.uint32(j * w_bit)) & qmask,
             jnp.int8,
         )
         for j in range(ppw // 4)
     ]
+    if mid:
+        # signed-code form (zeros_mid tensors): q − mid ∈ [−mid, mid−1]
+        # rides the int8 MXU directly and the zeros correction vanishes
+        # (zeros ≡ mid·scales).  One int8 subtract per tile — same cost
+        # class as the extraction shifts.
+        tiles = [t - jnp.int8(mid) for t in tiles]
+    return tiles
 
 
 def _quad_group(q_tiles, g: int, w_bit: int, group_size: int):
@@ -218,6 +242,7 @@ def _accumulate_k_step(
     layout: str,
     xsums_blk=None,
     zeros_blk=None,
+    mid_codes: int = 0,
 ):
     """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
     dot each against its activation slice, apply group-factored scales.
@@ -249,7 +274,9 @@ def _accumulate_k_step(
             zeros_eff = zeros_eff + _PAIR_BIAS * scales_blk.astype(jnp.float32)
     packed = packed_blk.astype(jnp.uint32)  # (gpk*bkp, bn)
     q_tiles = (
-        _unpack_kstep_quad_tiles(packed, w_bit) if layout == "tpu_quad" else None
+        _unpack_kstep_quad_tiles(packed, w_bit, mid_codes)
+        if layout == "tpu_quad"
+        else None
     )
     xsums = []
     for g in range(gpk):  # static unroll over groups in this K step
@@ -307,6 +334,7 @@ def _mpq_kernel(
     layout: str = "tpu_tiled",
     has_zeros: bool = False,
     has_xsums: bool = False,
+    mid_codes: int = 0,
 ):
     idx = 0
     zeros_ref = None
@@ -343,6 +371,7 @@ def _mpq_kernel(
         layout=layout,
         xsums_blk=None if xsums_ref is None else xsums_ref[0],
         zeros_blk=zeros_blk,
+        mid_codes=mid_codes,
     )
 
     @pl.when(i_k == nk - 1)
@@ -534,7 +563,7 @@ def _pick_tiles(
     jax.jit,
     static_argnames=(
         "w_bit", "group_size", "interpret", "out_dtype", "k_step_rows", "block_n",
-        "layout",
+        "layout", "mid_codes",
     ),
 )
 def _mpq_matmul_call(
@@ -550,6 +579,7 @@ def _mpq_matmul_call(
     k_step_rows: Optional[int] = None,
     block_n: Optional[int] = None,
     layout: str = "tpu_tiled",
+    mid_codes: int = 0,
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
@@ -580,10 +610,13 @@ def _mpq_matmul_call(
     # form stays: their group counts are small (w4g128), the in-kernel
     # dot is correspondingly cheap, and the outside form pays an f32
     # (instead of bf16) output round-trip that is pure overhead there.
-    zeros_outside = layout == "tpu_quad"
+    # mid_codes (signed-code quad): NO zeros at all — neither in-kernel
+    # nor outside; the correction is algebraically zero.
+    zeros_outside = layout == "tpu_quad" and not mid_codes
     kernel = functools.partial(
         _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
-        layout=layout, has_zeros=not zeros_outside, has_xsums=False,
+        layout=layout, has_zeros=not zeros_outside and not mid_codes,
+        has_xsums=False, mid_codes=mid_codes,
     )
 
     in_specs = [
@@ -592,7 +625,7 @@ def _mpq_matmul_call(
         meta_spec,
     ]
     operands = [x, packed, scales_in]
-    if not zeros_outside:
+    if not zeros_outside and not mid_codes:
         zeros_in = zeros.reshape(nk, gpk, n) if meta3d else zeros
         in_specs.append(meta_spec)
         operands.append(zeros_in)
@@ -710,6 +743,9 @@ def mpq_matmul_pallas(
             block_n=block_n,
             layout=qt.layout,
             out_dtype=jnp.float32,
+            mid_codes=(
+                2 ** ((qt.code_bits or qt.w_bit) - 1) if qt.zeros_mid else 0
+            ),
         )
         return (out * sx).astype(x.dtype)
     return _mpq_matmul_call(

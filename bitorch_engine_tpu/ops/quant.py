@@ -260,17 +260,21 @@ def concat_mpq(parts: Tuple[MPQTensor, ...]) -> MPQTensor:
     if all(p.grad_shadow is not None for p in parts):
         shadow = jnp.concatenate([p.grad_shadow for p in parts], axis=1)
     return first.replace(
-        packed=packed, scales=scales, zeros=zeros, grad_shadow=shadow
+        packed=packed, scales=scales, zeros=zeros, grad_shadow=shadow,
+        zeros_mid=all(p.zeros_mid for p in parts),
     )
 
 
-@functools.partial(jax.jit, static_argnames=('w_bit', 'group_size', 'asym', 'code_bits'))
+@functools.partial(
+    jax.jit, static_argnames=('w_bit', 'group_size', 'asym', 'code_bits', 'mid_sym')
+)
 def quantize_mpq(
     weight: Array,
     w_bit: int = 4,
     group_size: int = 128,
     asym: bool = False,
     code_bits: Optional[int] = None,
+    mid_sym: bool = False,
 ) -> MPQTensor:
     """RTN group-wise quantization of an fp weight ``(K, N)`` into an MPQTensor.
 
@@ -312,9 +316,31 @@ def quantize_mpq(
             asym=True,
             code_bits=code_bits,
         )
-    # symmetric/GBA style: w = q * scale - zero  with q in [0, maxq]
     wmin = jnp.min(w, axis=1)
     wmax = jnp.max(w, axis=1)
+    if mid_sym:
+        # symmetric-midpoint (exl2 form, qdq_*.cuh): zeros ≡ mid·scales
+        # EXACTLY, so signed codes q − mid cancel the zeros correction in
+        # the quad kernel (MPQTensor.zeros_mid).  Slightly coarser than
+        # the affine min-max form on skewed groups (the grid is forced
+        # symmetric around 0); bounded by the ppl gate's *_midsym configs.
+        mid = float(2 ** ((code_bits or w_bit) - 1))
+        scales = jnp.maximum(
+            jnp.maximum(wmax / (maxq - mid), -wmin / mid), 1e-8
+        )
+        zeros = mid * scales
+        q = jnp.clip(jnp.round(w / scales[:, None, :]) + mid, 0, maxq)
+        return MPQTensor(
+            packed=packing.pack_rows(q.reshape(k, n).astype(jnp.int32), w_bit),
+            scales=scales,
+            zeros=zeros,
+            w_bit=w_bit,
+            group_size=group_size,
+            asym=False,
+            code_bits=code_bits,
+            zeros_mid=True,
+        )
+    # symmetric/GBA style: w = q * scale - zero  with q in [0, maxq]
     scales = jnp.maximum((wmax - wmin) / maxq, 1e-8)
     zeros = -wmin  # fp subtractive zero: w = q*scale - (-wmin) → q = (w + zero)/scale
     q = jnp.clip(jnp.round((w + zeros[:, None, :]) / scales[:, None, :]), 0, maxq)

@@ -178,6 +178,15 @@ class MPQTensor(QTensorBase):
     # reference — quality-gated by tools/ppl_gate.py).  Prefill/training
     # regimes always use fp activations regardless.
     act_bits: int = struct.field(pytree_node=False, default=16)
+    # True ⇔ the subtractive zeros are EXACTLY mid·scales with
+    # mid = 2**(quant_bits-1) (exl2 symmetric-midpoint form, qdq_2.cuh:
+    # zeros ≡ 2^{b-1}; also quantize_mpq(mid_sym=True)).  The quad kernel
+    # then runs SIGNED codes (q − mid) on the int8 MXU and the whole
+    # zeros-correction — per-group activation sums + the zeros dot —
+    # vanishes algebraically (measured ~185 µs/step of XLA reduces on the
+    # uniform-w2 8B serving step, round-5 trace).  Set by relayout_tpu
+    # after a concrete zeros == mid·scales check, or by the quantizer.
+    zeros_mid: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def in_features(self) -> int:

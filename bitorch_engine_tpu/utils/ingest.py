@@ -257,6 +257,9 @@ def mbwq_from_exl2(
                 group_size=rows,
                 asym=False,
                 code_bits=None if container == bits else bits,
+                # zeros ≡ mid·scales by construction: the quad kernel runs
+                # signed codes with no zeros correction (zeros_mid)
+                zeros_mid=True,
             )
         )
 

@@ -310,3 +310,65 @@ def test_tile_table_json_loading(tmp_path, monkeypatch):
     # NOT the temp file's value
     assert (1234, 5678, 4) not in dm._PAIR_TILE_TABLE
     assert dm._QUAD_TILE_TABLE[(4096, 4096, 2)] != (4096, 2048)
+
+
+@pytest.mark.parametrize("w_bit,gs", [(2, 128), (2, 64), (4, 128)])
+def test_kernel_a8_quad_mid_sym_signed_codes(w_bit, gs):
+    """mid_sym quantization (zeros ≡ mid·scales) routes the quad kernel
+    onto SIGNED codes with no zeros correction (MPQTensor.zeros_mid) —
+    must match the explicit A8 reference exactly like the unsigned path."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    rng = np.random.default_rng(11)
+    k, n = 512, 256
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((8, k)).astype(np.float32), jnp.bfloat16)
+    qt = quant.quantize_mpq(w, w_bit=w_bit, group_size=gs, mid_sym=True)
+    assert qt.zeros_mid
+    qt8 = relayout_tpu(qt, meta_dtype=jnp.bfloat16, act_bits=8)
+    assert qt8.layout == "tpu_quad" and qt8.zeros_mid
+    out = mpq_matmul_pallas(x, qt8, interpret=True)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    qx = jnp.round(xf / sx)
+    ref = (qx @ quant.dequantize_mpq(qt8, dtype=jnp.float32)) * sx
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_relayout_detects_mid_zeros():
+    """Concrete sym tensors whose zeros happen to equal mid·scales (e.g.
+    exl2 ingests that predate the flag) are detected at relayout time."""
+    from bitorch_engine_tpu.ops.pallas.dequant_matmul import relayout_tpu
+
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32) * 0.02)
+    qt = quant.quantize_mpq(w, w_bit=2, group_size=128, mid_sym=True)
+    qt = qt.replace(zeros_mid=False)  # simulate a pre-flag tensor
+    qt8 = relayout_tpu(qt, act_bits=8)
+    assert qt8.zeros_mid
+    # affine (min-max) zeros must NOT be detected
+    qt_aff = quant.quantize_mpq(w, w_bit=2, group_size=128)
+    assert not relayout_tpu(qt_aff, act_bits=8).zeros_mid
+
+
+def test_mbwq_mid_sym_strategy():
+    """strategy mid_sym=True propagates to every segment (zeros_mid) and
+    the forward still matches the dequant reference."""
+    from bitorch_engine_tpu.ops.mbwq_linear import (
+        dequantize_mbwq,
+        mbwq_linear,
+        quantize_mbwq,
+        strategy_dict,
+    )
+
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32) * 0.02)
+    strat = strategy_dict([(4, 0.5), (2, 0.5)], 64, mid_sym=True)
+    qt = quantize_mbwq(w, strat)
+    assert all(s.zeros_mid for s in qt.segments)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    out = mbwq_linear(x, qt)
+    ref = x @ dequantize_mbwq(qt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
