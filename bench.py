@@ -101,6 +101,7 @@ def e2e_decode(
     group_size=GROUP,
     act8=False,
     measure_full=True,
+    mid_sym=False,
 ):
     """Full Llama-3-8B quantized decode step; returns seconds/step.
 
@@ -133,6 +134,9 @@ def e2e_decode(
         # pad head N so the kernel gets 2048-wide N blocks (v5e sweep:
         # 605us @ bn=256 unpadded -> 380us padded)
         head_pad_to=head_pad if head_bits else 0,
+        # signed-code quad regime (zeros correction eliminated; the w2 arm
+        # enables it — ppl-gated via rel_delta_w2g128_midsym)
+        quant_mid_sym=mid_sym,
     )
     model = LlamaModel(cfg)
     tokens = jnp.zeros((BATCH, 1), jnp.int32)
@@ -470,6 +474,7 @@ def mbwq_decode():
     cfg = llama2_7b(
         dtype=jnp.bfloat16,
         mbwq_strategy=((4, 0.25), (2, 0.75, w2gs) if w2gs else (2, 0.75)),
+        quant_mid_sym=os.environ.get("BENCH_MBWQ_MIDSYM", "0") == "1",
         group_size=int(os.environ.get("BENCH_MBWQ_GS", "64")),
         max_seq_len=CACHE_LEN,
         kv_cache_dtype="int8",

@@ -166,7 +166,8 @@ def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
 
     if cfg_q.mbwq_strategy is not None:
         strategy = strategy_dict(
-            cfg_q.mbwq_strategy, cfg_q.group_size, cfg_q.mbwq_container_bits
+            cfg_q.mbwq_strategy, cfg_q.group_size, cfg_q.mbwq_container_bits,
+            mid_sym=cfg_q.quant_mid_sym,
         )
 
         def qz(kernel):
@@ -180,6 +181,7 @@ def quantize_llama_params(params_fp, cfg_q: LlamaConfig):
                 w_bit=cfg_q.w_bit,
                 group_size=cfg_q.group_size,
                 asym=cfg_q.asym,
+                mid_sym=cfg_q.quant_mid_sym,
             )
 
     def convert(tree):

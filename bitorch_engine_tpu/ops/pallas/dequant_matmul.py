@@ -207,20 +207,20 @@ def _unpack_kstep_quad_tiles(packed, w_bit: int, mid: int = 0):
     """
     ppw = 32 // w_bit
     qmask = jnp.uint32(((1 << w_bit) - 1) * 0x01010101)
-    tiles = [
+    # NB: mid-code (signed) tensors keep the UNSIGNED extraction — Mosaic
+    # on v5e cannot legalize elementwise i8 arithmetic (`arith.subi` on
+    # vector<i8> fails to compile), so the mid bias is folded into the
+    # per-group accumulation instead (see _accumulate_k_step): the int32
+    # dot and the f32 group-sum are both exact integers < 2^24, so
+    # d − mid·Σx is bit-identical to the signed-code dot.
+    del mid
+    return [
         pltpu.bitcast(
             lax.shift_right_logical(packed, jnp.uint32(j * w_bit)) & qmask,
             jnp.int8,
         )
         for j in range(ppw // 4)
     ]
-    if mid:
-        # signed-code form (zeros_mid tensors): q − mid ∈ [−mid, mid−1]
-        # rides the int8 MXU directly and the zeros correction vanishes
-        # (zeros ≡ mid·scales).  One int8 subtract per tile — same cost
-        # class as the extraction shifts.
-        tiles = [t - jnp.int8(mid) for t in tiles]
-    return tiles
 
 
 def _quad_group(q_tiles, g: int, w_bit: int, group_size: int):
@@ -289,6 +289,15 @@ def _accumulate_k_step(
             contrib = jnp.dot(
                 x_g, q, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
+            if mid_codes:
+                # zeros_mid regime: the whole zeros correction reduces to
+                # subtracting mid·Σx_g per group BEFORE the scale multiply
+                # (zeros ≡ mid·scales).  Both terms are exact integers in
+                # f32 (< 2^24), so this equals the signed-code dot bit for
+                # bit, with no zeros stream, no XLA group-sum reduces and
+                # no outside correction dot.
+                xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+                contrib = contrib - float(mid_codes) * xsum
         else:
             words = packed[g * bkp : (g + 1) * bkp, :]
             q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)

@@ -57,10 +57,15 @@ def run_quad_logits_gate(
 
     shapes = shapes or SHAPES
     max_rel = 0.0
+    # each shape is checked in the unsigned (affine-zeros) regime; the
+    # last one ALSO exercises the signed-code mid_sym regime (zeros_mid)
     for i, (k, n) in enumerate(shapes):
         key = jax.random.PRNGKey(i)
         w = jax.random.normal(key, (k, n), jnp.float32) * 0.02
-        qt = quant.quantize_mpq(w, w_bit=w_bit, group_size=gs, asym=False)
+        qt = quant.quantize_mpq(
+            w, w_bit=w_bit, group_size=gs, asym=False,
+            mid_sym=(i == len(shapes) - 1),
+        )
         qt8 = relayout_tpu(qt, meta_dtype=jnp.bfloat16, act_bits=8)
         if qt8.layout != "tpu_quad":
             raise RuntimeError(f"{k}x{n}: expected tpu_quad, got {qt8.layout}")
@@ -79,6 +84,9 @@ def run_quad_logits_gate(
             group_size=qt8.group_size,
             layout=qt8.layout,
             out_dtype=jnp.float32,
+            mid_codes=(
+                2 ** ((qt8.code_bits or qt8.w_bit) - 1) if qt8.zeros_mid else 0
+            ),
         )
         # XLA reference on the SAME integer activations, f32 HIGHEST
         wq = quant.dequantize_mpq(qt8, dtype=jnp.float32)
