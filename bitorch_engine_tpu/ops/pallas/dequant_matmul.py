@@ -248,17 +248,17 @@ def _accumulate_k_step(
     dot each against its activation slice, apply group-factored scales.
     Shared by the grid and multi-segment (MBWQ) kernels.
 
-    Zeros correction (round-4 redesign): the subtractive-zero term
-    ``Σ_g xsum_g · zeros[g,n]`` is linear in per-group activation sums, so
-    it does NOT need to live in the kernel at all — the caller computes it
-    as ONE XLA f32 dot ``xsums (m,G) @ zeros (G,N)`` per projection.  The
-    in-kernel form cost a ``precision=HIGHEST`` f32 MXU dot per K-step
-    (~4.7 µs on the 8192×4096 w2 g32 calls, round-4 ablation) and made the
-    kernel stream the zeros metadata through VMEM.  The only piece that
-    must stay in-kernel is tpu_pair's +128 magic-exponent bias: it is
-    subtracted from each group's contribution as a (bm, 1) broadcast row
-    (``contrib − 128·xsum_g``) BEFORE the f32 scale multiply — exact in
-    f32, one cheap VPU op per group.
+    Zeros correction placement (round-4/5 history): the subtractive-zero
+    term ``Σ_g xsum_g · zeros[g,n]`` lived in-kernel as a per-K-step
+    ``precision=HIGHEST`` MXU dot (expensive at small group sizes, ~4.7 µs
+    per 8192×4096 w2 g32 K-step), moved OUTSIDE as one XLA dot per
+    projection in round 4, and moved back IN for tpu_quad in round 5 as
+    per-group VPU broadcast FMAs (``contrib·s − xsum·z``) after the
+    outside form's group-sum reduces measured ~185 µs/step of fixed
+    launch latency on the uniform-w2 serving step.  ``zeros_mid`` tensors
+    (zeros ≡ mid·scales) skip the zeros stream entirely and subtract
+    ``mid·xsum_g``.  tpu_pair keeps its +128 magic-exponent bias row
+    (``contrib − 128·xsum_g``) and the legacy batched end-of-loop dot.
 
     ``xsums_blk``: (bm, gpk) f32 per-group activation sums, required for
     tpu_pair (the bias rows).  ``zeros_blk``: when given, the legacy full
@@ -266,7 +266,9 @@ def _accumulate_k_step(
     uses this form; see mbwq_matmul.py)."""
     ppw = 32 // w_bit
     bkp = group_size // ppw
-    legacy = zeros_blk is not None
+    # "legacy" = the batched end-of-loop zeros dot (pair/tiled layouts);
+    # quad handles its correction per group inside the loop
+    legacy = zeros_blk is not None and layout != "tpu_quad"
     if legacy:
         zeros_eff = zeros_blk.astype(jnp.float32)
         if layout == "tpu_pair":
@@ -284,20 +286,32 @@ def _accumulate_k_step(
         if layout == "tpu_quad":
             # A8 regime: int8 activations × int8 codes on the int8 MXU,
             # exact int32 accumulate; the per-token activation scale is
-            # factored out entirely (applied by the caller on the output)
+            # factored out entirely (applied by the caller on the output).
+            # The zeros correction lives HERE as per-group broadcast FMAs
+            # on the VPU — not as the legacy per-K-step (gpk,bn) MXU dot
+            # (whose HIGHEST-precision pass cost ~4.7 µs/K-step, the
+            # round-4 reason zeros moved outside) and not as the outside
+            # XLA dot + group-sum reduces (~185 µs/step of fixed-latency
+            # ops on the uniform-w2 8B decode, round-5 trace).  xsum and
+            # the int32 dot are exact integers in f32 (< 2^24).
             q = _quad_group(q_tiles, g, w_bit, group_size)  # (gs, bn) i8
             contrib = jnp.dot(
                 x_g, q, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
+            scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
             if mid_codes:
-                # zeros_mid regime: the whole zeros correction reduces to
-                # subtracting mid·Σx_g per group BEFORE the scale multiply
-                # (zeros ≡ mid·scales).  Both terms are exact integers in
-                # f32 (< 2^24), so this equals the signed-code dot bit for
-                # bit, with no zeros stream, no XLA group-sum reduces and
-                # no outside correction dot.
+                # zeros ≡ mid·scales: correction = mid·Σx_g, no zeros
+                # stream at all (bit-identical to a signed-code dot)
                 xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
                 contrib = contrib - float(mid_codes) * xsum
+                acc = acc + contrib * scale
+            elif zeros_blk is not None:
+                xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+                z_row = zeros_blk[g : g + 1, :].astype(jnp.float32)
+                acc = acc + (contrib * scale - xsum * z_row)
+            else:
+                acc = acc + contrib * scale
+            continue
         else:
             words = packed[g * bkp : (g + 1) * bkp, :]
             q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)
@@ -610,21 +624,20 @@ def _mpq_matmul_call(
         scales_in = scales
         meta_spec = pl.BlockSpec((gpk, bn), lambda im, i_n, i_k: (i_k, i_n))
 
-    # Zeros-correction placement (round-4 A/B, v5e): for tpu_quad the
-    # subtractive-zero term moves OUT of the kernel into one plain-f32 XLA
-    # dot per projection — in-kernel it cost a precision=HIGHEST f32 MXU
-    # dot per K-step (~4.7 µs on the 8192×4096 w2 g32 calls) plus the
-    # zeros VMEM stream, and the g32/g64 segment shapes have 2-4× the
-    # group count of w4g128.  For tpu_pair/tpu_tiled the legacy in-kernel
-    # form stays: their group counts are small (w4g128), the in-kernel
-    # dot is correspondingly cheap, and the outside form pays an f32
-    # (instead of bf16) output round-trip that is pure overhead there.
-    # mid_codes (signed-code quad): NO zeros at all — neither in-kernel
-    # nor outside; the correction is algebraically zero.
-    zeros_outside = layout == "tpu_quad" and not mid_codes
+    # Zeros-correction placement (round-4/5 history): round 4 moved the
+    # quad correction OUT of the kernel (the in-kernel form then was a
+    # per-K-step precision=HIGHEST MXU dot, ~4.7 µs on g32 shapes); the
+    # round-5 trace showed the outside form costs ~185 µs/step of
+    # fixed-latency XLA group-sum reduces on the uniform-w2 8B config, so
+    # the correction moved back IN — as per-group VPU broadcast FMAs
+    # (contrib·s − xsum·z), which touch no MXU and stream zeros exactly
+    # once alongside the scales.  mid_codes tensors (zeros ≡ mid·scales)
+    # skip the zeros operand entirely.  pair/tiled keep the legacy
+    # batched end-of-loop dot (small group counts make it cheap).
+    has_zeros = not (mid_codes and layout == "tpu_quad")
     kernel = functools.partial(
         _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
-        layout=layout, has_zeros=not zeros_outside and not mid_codes,
+        layout=layout, has_zeros=has_zeros,
         has_xsums=False, mid_codes=mid_codes,
     )
 
@@ -634,7 +647,7 @@ def _mpq_matmul_call(
         meta_spec,
     ]
     operands = [x, packed, scales_in]
-    if not zeros_outside and not mid_codes:
+    if has_zeros:
         zeros_in = zeros.reshape(nk, gpk, n) if meta3d else zeros
         in_specs.append(meta_spec)
         operands.append(zeros_in)
@@ -644,13 +657,7 @@ def _mpq_matmul_call(
         grid=(nm, nn, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda im, i_n, i_k: (im, i_n)),
-        # f32 kernel output in zeros-outside mode: the correction below is
-        # the same order of magnitude as the output itself, so subtracting
-        # it from a bf16 kernel result would lose ~half the mantissa to
-        # cancellation
-        out_shape=jax.ShapeDtypeStruct(
-            (m_pad, n), jnp.float32 if zeros_outside else out_dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -659,29 +666,6 @@ def _mpq_matmul_call(
         # pipeline by ~20% (16.4us vs 13.5us on the 4096^2 w4 GEMV)
         interpret=interpret,
     )(*operands)
-    if zeros_outside:
-        # out -= xsums @ zeros, one XLA f32 dot per projection (zeros
-        # stream HBM→MXU exactly once; int32 activation group sums are
-        # order-exact; the convert of bf16-stored zeros fuses into the
-        # dot).  precision=HIGHEST is load-bearing here exactly as in the
-        # legacy in-kernel form above: at default precision the MXU
-        # truncates the f32 operands to bf16, and per-group A8 sums reach
-        # gs·127 ≈ 8128 at g64 (not bf16-exact) while the correction
-        # partially cancels against the kernel output — the reason the
-        # kernel output stays f32.  Cost is negligible at decode m ≤ 8.
-        xs2d = (
-            x.astype(jnp.int32)
-            .reshape(m_pad, nk * gpk, gs)
-            .sum(-1)
-            .astype(jnp.float32)
-        )  # (m_pad, G)
-        out = out - jnp.dot(
-            xs2d,
-            zeros.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
-        out = out.astype(out_dtype)
     if m_pad != m:
         out = out[:m]
     return out
