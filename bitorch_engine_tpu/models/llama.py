@@ -521,22 +521,33 @@ class LlamaAttention(nn.Module):
             total_len = (kv_cache[0]).shape[1]
             full_read = attn_window is None or attn_window >= total_len
             if kv_quant:
-                ck0, cks0, cv0, cvs0 = kv_cache  # int8 (b,L,nkv,hd) + fp scales
+                # int8 pools (b,L,nkv,hd) + ONE merged scale cache
+                # (b,L,2·nkv) in head-major (k,v) pairs — see
+                # init_kv_caches; one dus writes both scale rows
+                ck0, cv0, ckvs0 = kv_cache
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
+                kvs_new = jnp.stack([ks_new, vs_new], -1).reshape(
+                    *ks_new.shape[:-1], -1
+                )
                 new_cache = (
                     write(ck0, k_new, cache_len),
-                    write(cks0, ks_new, cache_len),
                     write(cv0, v_new, cache_len),
-                    write(cvs0, vs_new, cache_len),
+                    write(ckvs0, kvs_new, cache_len),
                 )
+
+                def split_scales(kvs):
+                    r = kvs.reshape(*kvs.shape[:-1], nkv, 2)
+                    return r[..., 0], r[..., 1]
+
                 if full_read:
-                    k_all, ks_all, v_all, vs_all = new_cache
+                    k_all, v_all, kvs_all = new_cache
+                    ks_all, vs_all = split_scales(kvs_all)
                 else:
                     prefix_len = attn_window
                     if prefix_len:
                         k_pre, v_pre = ck0[:, :prefix_len], cv0[:, :prefix_len]
-                        ks_pre, vs_pre = cks0[:, :prefix_len], cvs0[:, :prefix_len]
+                        ks_pre, vs_pre = split_scales(ckvs0[:, :prefix_len])
             else:
                 ck0, cv0 = kv_cache  # (b, max_len, nkv, hd)
                 k_new = k.astype(ck0.dtype)
@@ -1107,11 +1118,17 @@ def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
     max_len = max_len or cfg.max_seq_len
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.kv_cache_dtype == "int8":
-        sshape = (batch, max_len, cfg.num_kv_heads)
+        # k and v per-position scales share ONE merged cache
+        # (b, L, 2·kv_heads), head-major pairs (lane 2h = k-scale of head
+        # h, 2h+1 = v-scale): a decode step then writes one dus instead
+        # of two (standalone small-op latency ~1.9 µs each, ×64/step on
+        # the 8B serving config — round-5 trace), tp sharding still
+        # splits heads, and the physical footprint halves (the lane dim
+        # pads to 128 either way).
+        sshape = (batch, max_len, 2 * cfg.num_kv_heads)
         return [
             (
                 jnp.zeros(shape, jnp.int8),
-                jnp.zeros(sshape, jnp.float32),
                 jnp.zeros(shape, jnp.int8),
                 jnp.zeros(sshape, jnp.float32),
             )

@@ -47,12 +47,14 @@ def shard_llama_params(params, mesh: Mesh, axis: str = "tp"):
 def kv_cache_shardings(mesh: Mesh, num_layers: int, kv_cache_dtype: str = "bf16"):
     """(b, L, kv_heads, d) caches: batch over dp, heads over tp.
 
-    int8 caches are per-layer 4-tuples with (b, L, kv_heads) scale arrays.
+    int8 caches are per-layer 3-tuples (k, v, kv_scale) with one merged
+    (b, L, 2·kv_heads) scale cache in head-major (k,v) pairs — tp splits
+    the pair axis on head boundaries because head h owns lanes 2h, 2h+1.
     """
     spec = NamedSharding(mesh, P("dp", None, "tp", None))
     if kv_cache_dtype == "int8":
         sspec = NamedSharding(mesh, P("dp", None, "tp"))
-        return [(spec, sspec, spec, sspec) for _ in range(num_layers)]
+        return [(spec, spec, sspec) for _ in range(num_layers)]
     return [(spec, spec) for _ in range(num_layers)]
 
 
