@@ -522,14 +522,16 @@ class LlamaAttention(nn.Module):
             full_read = attn_window is None or attn_window >= total_len
             if kv_quant:
                 # int8 pools (b,L,nkv,hd) + ONE merged scale cache
-                # (b,L,2·nkv) in head-major (k,v) pairs — see
-                # init_kv_caches; one dus writes both scale rows
+                # (b,L,2·nkv) = [k-scales | v-scales] halves — see
+                # init_kv_caches; one dus writes both scale rows, and the
+                # reads are plain lane slices that fuse into the score/
+                # prob multiplies (an interleaved pair layout instead
+                # needed a minor-dim-2 reshape XLA materialized as a
+                # 71 µs/step relayout — round-5 forensics trace)
                 ck0, cv0, ckvs0 = kv_cache
                 k_new, ks_new = quantize_kv(k)
                 v_new, vs_new = quantize_kv(v)
-                kvs_new = jnp.stack([ks_new, vs_new], -1).reshape(
-                    *ks_new.shape[:-1], -1
-                )
+                kvs_new = jnp.concatenate([ks_new, vs_new], axis=-1)
                 new_cache = (
                     write(ck0, k_new, cache_len),
                     write(cv0, v_new, cache_len),
@@ -537,8 +539,7 @@ class LlamaAttention(nn.Module):
                 )
 
                 def split_scales(kvs):
-                    r = kvs.reshape(*kvs.shape[:-1], nkv, 2)
-                    return r[..., 0], r[..., 1]
+                    return kvs[..., :nkv], kvs[..., nkv:]
 
                 if full_read:
                     k_all, v_all, kvs_all = new_cache
@@ -1119,12 +1120,13 @@ def init_kv_caches(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
     shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.kv_cache_dtype == "int8":
         # k and v per-position scales share ONE merged cache
-        # (b, L, 2·kv_heads), head-major pairs (lane 2h = k-scale of head
-        # h, 2h+1 = v-scale): a decode step then writes one dus instead
-        # of two (standalone small-op latency ~1.9 µs each, ×64/step on
-        # the 8B serving config — round-5 trace), tp sharding still
-        # splits heads, and the physical footprint halves (the lane dim
-        # pads to 128 either way).
+        # (b, L, 2·kv_heads) = [k-scales | v-scales] halves: a decode
+        # step then writes one dus instead of two (standalone small-op
+        # latency ~1.9 µs each, ×64/step on the 8B serving config —
+        # round-5 trace), reads are fusible lane slices, and the
+        # lane-padded physical footprint halves.  Under tp the cache is
+        # replicated over heads (512 KB/layer of f32 — see
+        # kv_cache_shardings).
         sshape = (batch, max_len, 2 * cfg.num_kv_heads)
         return [
             (

@@ -48,12 +48,15 @@ def kv_cache_shardings(mesh: Mesh, num_layers: int, kv_cache_dtype: str = "bf16"
     """(b, L, kv_heads, d) caches: batch over dp, heads over tp.
 
     int8 caches are per-layer 3-tuples (k, v, kv_scale) with one merged
-    (b, L, 2·kv_heads) scale cache in head-major (k,v) pairs — tp splits
-    the pair axis on head boundaries because head h owns lanes 2h, 2h+1.
+    (b, L, 2·kv_heads) scale cache laid out as [k-scales | v-scales]
+    halves.  The halves layout keeps reads as fusible lane slices, so
+    the scale cache replicates over tp (splitting 2·nkv lanes would give
+    whole shards only-k or only-v scales); at ~512 KB of f32 per layer
+    the replication is noise next to the sharded int8 pools.
     """
     spec = NamedSharding(mesh, P("dp", None, "tp", None))
     if kv_cache_dtype == "int8":
-        sspec = NamedSharding(mesh, P("dp", None, "tp"))
+        sspec = NamedSharding(mesh, P("dp", None, None))
         return [(spec, spec, sspec) for _ in range(num_layers)]
     return [(spec, spec) for _ in range(num_layers)]
 
