@@ -243,6 +243,7 @@ def _accumulate_k_step(
     xsums_blk=None,
     zeros_blk=None,
     mid_codes: int = 0,
+    pair_fma: bool = False,
 ):
     """One K-step of the fused dequant matmul: unpack ``gpk`` quant groups,
     dot each against its activation slice, apply group-factored scales.
@@ -267,8 +268,13 @@ def _accumulate_k_step(
     ppw = 32 // w_bit
     bkp = group_size // ppw
     # "legacy" = the batched end-of-loop zeros dot (pair/tiled layouts);
-    # quad handles its correction per group inside the loop
-    legacy = zeros_blk is not None and layout != "tpu_quad"
+    # quad (and pair under the experimental pair_fma mode) handle their
+    # correction per group inside the loop
+    legacy = (
+        zeros_blk is not None
+        and layout != "tpu_quad"
+        and not (pair_fma and layout == "tpu_pair")
+    )
     if legacy:
         zeros_eff = zeros_blk.astype(jnp.float32)
         if layout == "tpu_pair":
@@ -316,6 +322,18 @@ def _accumulate_k_step(
             words = packed[g * bkp : (g + 1) * bkp, :]
             q = _unpack_group_to_dtype(words, w_bit, layout, x_blk.dtype)
             contrib = jnp.dot(x_g, q, preferred_element_type=jnp.float32)
+            if layout == "tpu_pair" and pair_fma and zeros_blk is not None:
+                # experimental per-group FMA zeros for pair (the quad
+                # round-5 form): contrib − 128·xsum bias, then
+                # acc += contrib·s − xsum·z — replaces the per-K-step
+                # HIGHEST MXU zeros dot.  BITORCH_PAIR_FMA=1.
+                xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+                scale = scales_blk[g : g + 1, :].astype(jnp.float32)
+                z_row = zeros_blk[g : g + 1, :].astype(jnp.float32)
+                acc = acc + (
+                    (contrib - _PAIR_BIAS * xsum) * scale - xsum * z_row
+                )
+                continue
             if layout == "tpu_pair" and not legacy:
                 contrib = contrib - _PAIR_BIAS * xsums_blk[:, g : g + 1]
         scale = scales_blk[g : g + 1, :].astype(jnp.float32)  # (1, bn)
@@ -358,6 +376,7 @@ def _mpq_kernel(
     has_zeros: bool = False,
     has_xsums: bool = False,
     mid_codes: int = 0,
+    pair_fma: bool = False,
 ):
     idx = 0
     zeros_ref = None
@@ -395,6 +414,7 @@ def _mpq_kernel(
         xsums_blk=None if xsums_ref is None else xsums_ref[0],
         zeros_blk=zeros_blk,
         mid_codes=mid_codes,
+        pair_fma=pair_fma,
     )
 
     @pl.when(i_k == nk - 1)
@@ -586,7 +606,7 @@ def _pick_tiles(
     jax.jit,
     static_argnames=(
         "w_bit", "group_size", "interpret", "out_dtype", "k_step_rows", "block_n",
-        "layout", "mid_codes",
+        "layout", "mid_codes", "pair_fma",
     ),
 )
 def _mpq_matmul_call(
@@ -603,6 +623,7 @@ def _mpq_matmul_call(
     block_n: Optional[int] = None,
     layout: str = "tpu_tiled",
     mid_codes: int = 0,
+    pair_fma: bool = False,
 ) -> Array:
     m, k = x.shape
     n = packed.shape[1]
@@ -638,7 +659,7 @@ def _mpq_matmul_call(
     kernel = functools.partial(
         _mpq_kernel, w_bit=w_bit, group_size=gs, gpk=gpk, nk=nk, meta3d=meta3d,
         layout=layout, has_zeros=has_zeros,
-        has_xsums=False, mid_codes=mid_codes,
+        has_xsums=False, mid_codes=mid_codes, pair_fma=pair_fma,
     )
 
     in_specs = [
@@ -741,6 +762,8 @@ def mpq_matmul_pallas(
             ),
         )
         return (out * sx).astype(x.dtype)
+    import os as _os
+
     return _mpq_matmul_call(
         x,
         qt.packed,
@@ -752,6 +775,9 @@ def mpq_matmul_pallas(
         k_step_rows=k_step_rows,
         block_n=block_n,
         layout=qt.layout,
+        # experimental pair-layout per-group FMA zeros (read at trace
+        # time; static arg so each setting compiles separately)
+        pair_fma=_os.environ.get("BITORCH_PAIR_FMA", "0") == "1",
     )
 
 
